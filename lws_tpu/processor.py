@@ -1,0 +1,267 @@
+"""The LWS processor: public API mirroring the reference `lws` class.
+
+Drop-in equivalent of python/lws.pyx:378-499 with the same constructor surface
+(parameter names preserved) plus TPU-native extensions: arbitrary leading
+batch dimensions, dtype control (float32 planes on TPU by default, float64
+under jax_enable_x64 for oracle parity), and sweep-order selection.
+
+All weight tensors are precomputed once at construction (host, float64) and
+the three schedules run as jit-compiled device programs with no host
+round-trips between iterations.
+
+Device data convention: spectrograms are SPLIT real/imag float pairs
+(sr, si) on device; complex arrays appear only at the host boundary. Every
+phase-recovery method accepts either a complex array (returns a host complex
+array, reference-compatible) or an (sr, si) pair (returns a pair, zero-copy
+chaining for production pipelines).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import stft as _stft
+from .core.batch import lws_sweeps
+from .core.online import rtisi_la
+from .core.stencil import make_stencil, merge, split
+from .weights import build_stencil, create_weights
+from .windows import (
+    build_asymmetric_windows,
+    default_window,
+    get_thresholds,
+    overlap_factor,
+    synthwin,
+)
+
+__all__ = ["LWS", "lws"]
+
+
+def _default_real_dtype():
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+class LWS:
+    """Fast spectrogram phase recovery using Local Weighted Sums, TPU-native.
+
+    Constructor signature mirrors the reference (python/lws.pyx:379-383);
+    `mode='speech'` selects batch-only, `mode='music'` enables the no-future
+    and online stages (python/lws.pyx:432-437).
+    """
+
+    def __init__(
+        self,
+        awin_or_fsize,
+        fshift,
+        L=5,
+        swin=None,
+        look_ahead=3,
+        nofuture_iterations=0,
+        nofuture_alpha=1,
+        nofuture_beta=0.1,
+        nofuture_gamma=1,
+        online_iterations=0,
+        online_alpha=1,
+        online_beta=0.1,
+        online_gamma=1,
+        batch_iterations=100,
+        batch_alpha=100,
+        batch_beta=0.1,
+        batch_gamma=1,
+        symmetric_win=True,
+        mode=None,
+        fftsize=None,
+        perfectrec=True,
+        use_simplifications=True,
+        dtype=None,
+        order="gs",
+        inner_passes=1,
+    ):
+        if isinstance(awin_or_fsize, (int, np.integer)):
+            awin = default_window(int(awin_or_fsize), fshift, symmetric=symmetric_win)
+        else:
+            awin = np.asarray(awin_or_fsize, dtype=np.float64)
+            if awin.ndim > 1:
+                if awin.ndim > 2 or (awin.shape[0] > 1 and awin.shape[1] > 1):
+                    raise ValueError("The analysis window should be flat")
+                awin = awin.flatten()
+
+        if fftsize is None:
+            fftsize = len(awin)
+        if fftsize > len(awin):
+            # symmetric zero-padding of the windows (python/lws.pyx:399-410);
+            # boundary samples then fall outside the perfect-reconstruction region
+            if (fftsize - len(awin)) % 2 != 0:
+                raise ValueError("The zero-padding should add even length to the original window.")
+            pad = np.zeros((fftsize - len(awin)) // 2)
+            awin = np.concatenate([pad, awin, pad])
+            if swin is not None:
+                swin = np.concatenate([pad, np.asarray(swin, dtype=np.float64), pad])
+
+        self.awin = awin
+        self.swin = synthwin(awin, fshift, swin=swin)
+        self.fshift = int(fshift)
+        self.fsize = len(awin)
+        self.fftsize = int(fftsize)
+        self.perfectrec = perfectrec
+        self.L = int(L)
+        self.look_ahead = int(look_ahead)
+        self.use_simplifications = use_simplifications
+        self.order = order
+        self.inner_passes = int(inner_passes)
+        if dtype is not None and jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
+            dtype = jnp.float64 if jnp.dtype(dtype) == jnp.complex128 else jnp.float32
+        self.rdtype = jnp.dtype(dtype) if dtype is not None else _default_real_dtype()
+
+        Qint, Qfloat = overlap_factor(self.fsize, self.fshift)
+        self.Q = Qint if self.fsize % self.fshift == 0 else Qfloat
+        self._Qi = Qint
+
+        if mode == "speech":
+            nofuture_iterations = 0
+            online_iterations = 0
+        elif mode == "music":
+            nofuture_iterations = 1
+            online_iterations = 10
+
+        self.batch_iterations = batch_iterations
+        self.batch_alpha, self.batch_beta, self.batch_gamma = batch_alpha, batch_beta, batch_gamma
+        self.online_iterations = online_iterations
+        self.online_alpha, self.online_beta, self.online_gamma = online_alpha, online_beta, online_gamma
+        self.nofuture_iterations = nofuture_iterations
+        self.nofuture_alpha, self.nofuture_beta, self.nofuture_gamma = (
+            nofuture_alpha, nofuture_beta, nofuture_gamma)
+
+        # weight tensors (host, float64), reference-identical layout
+        self.W = create_weights(self.awin, self.swin, self.fshift, self.L, use_simplifications)
+        self.win_ai, self.win_af = build_asymmetric_windows(self.awin * self.swin, self.fshift)
+        self.W_ai = create_weights(self.win_ai, self.swin, self.fshift, self.L, use_simplifications)
+        self.W_af = create_weights(self.win_af, self.swin, self.fshift, self.L, use_simplifications)
+
+        # expanded stencil tensors (device) for every visibility the pipeline needs
+        nreal = self.fftsize // 2 + 1
+        Q = self._Qi
+        wst = build_stencil(self.W, nreal)
+        wst_ai = build_stencil(self.W_ai, nreal)
+        wst_af = build_stencil(self.W_af, nreal)
+        self._st_batch = make_stencil(wst, Q, self.L, v=Q - 1, dtype=self.rdtype)
+        self._st_nofuture = make_stencil(wst_ai, Q, self.L, v=-1, dtype=self.rdtype)
+        self._st_af = make_stencil(wst_af, Q, self.L, v=0, dtype=self.rdtype)
+        self._st_la = [
+            make_stencil(wst, Q, self.L, v=min(d, Q - 1), dtype=self.rdtype)
+            for d in range(1, self.look_ahead + 1)
+        ]
+
+        self._batch_fn = jax.jit(functools.partial(
+            lws_sweeps, st=self._st_batch, order=self.order, inner_passes=self.inner_passes))
+        self._nofuture_fn = jax.jit(
+            functools.partial(lws_sweeps, st=self._st_nofuture, order=self.order))
+        self._online_fn = jax.jit(functools.partial(
+            rtisi_la, st_la=self._st_la, st_ai=self._st_nofuture, st_af=self._st_af,
+            inner_passes=self.inner_passes))
+
+    # ---------------- analysis / synthesis ----------------
+
+    def stft(self, x):
+        """STFT -> host complex array (reference-compatible)."""
+        return _stft.stft(x, self.fsize, self.fshift, self.awin,
+                          fftsize=self.fftsize, perfectrec=self.perfectrec)
+
+    def stft_ri(self, x):
+        """STFT -> (sr, si) device pair (zero-copy pipeline path)."""
+        return _stft.stft_ri(x, self.fsize, self.fshift, self.awin,
+                             fftsize=self.fftsize, perfectrec=self.perfectrec)
+
+    def istft(self, S):
+        # swin is already normalised for perfect reconstruction at construction
+        sr, si = self._as_pair(S)
+        return _stft.istft_ri(sr, si, self.fshift, self.swin,
+                              fftsize=self.fftsize, perfectrec=self.perfectrec)
+
+    def get_consistency(self, S):
+        sr, si = self._as_pair(S)
+        return _stft.get_consistency_ri(sr, si, self.fsize, self.fshift,
+                                        self.awin, self.swin,
+                                        fftsize=self.fftsize, perfectrec=self.perfectrec)
+
+    # ---------------- phase recovery schedules ----------------
+
+    def _as_pair(self, S):
+        if self._is_pair(S):
+            pair = (jnp.asarray(S[0], dtype=self.rdtype),
+                    jnp.asarray(S[1], dtype=self.rdtype))
+        else:
+            pair = split(np.asarray(S), dtype=self.rdtype)
+        if pair[0].shape[-1] % 2 == 0:
+            raise ValueError(
+                "Please only include non-negative frequencies in the input spectrogram.")
+        return pair
+
+    @staticmethod
+    def _is_pair(S):
+        return isinstance(S, (tuple, list)) and len(S) == 2
+
+    def _ret(self, pair, was_pair):
+        return pair if was_pair else merge(*pair)
+
+    def _thr(self, iterations, alpha, beta, gamma, thresholds):
+        if thresholds is None:
+            thresholds = get_thresholds(iterations, alpha, beta, gamma)
+        return jnp.asarray(np.asarray(thresholds, dtype=np.float64), dtype=self.rdtype)
+
+    def nofuture_lws(self, S, iterations=None, thresholds=None):
+        """No-future initialisation pass (strictly-past stencil, W_ai weights)."""
+        if iterations is None:
+            iterations = self.nofuture_iterations
+        thr = self._thr(iterations, self.nofuture_alpha, self.nofuture_beta,
+                        self.nofuture_gamma, thresholds)
+        was_pair = self._is_pair(S)
+        pair = self._as_pair(S)
+        if thr.shape[0]:
+            pair = self._nofuture_fn(*pair, thresholds=thr)
+        return self._ret(pair, was_pair)
+
+    def online_lws(self, S, iterations=None, thresholds=None):
+        """Online (TF-RTISI-LA) sliding-commit pass."""
+        if iterations is None:
+            iterations = self.online_iterations
+        thr = self._thr(iterations, self.online_alpha, self.online_beta,
+                        self.online_gamma, thresholds)
+        was_pair = self._is_pair(S)
+        pair = self._as_pair(S)
+        if thr.shape[0]:
+            pair = self._online_fn(*pair, thresholds=thr)
+        return self._ret(pair, was_pair)
+
+    def batch_lws(self, S, iterations=None, thresholds=None):
+        """Full batch LWS sweeps."""
+        if iterations is None:
+            iterations = self.batch_iterations
+        thr = self._thr(iterations, self.batch_alpha, self.batch_beta,
+                        self.batch_gamma, thresholds)
+        was_pair = self._is_pair(S)
+        pair = self._as_pair(S)
+        if thr.shape[0]:
+            pair = self._batch_fn(*pair, thresholds=thr)
+        return self._ret(pair, was_pair)
+
+    def run_lws(self, S):
+        """The 3-stage pipeline: no-future -> online -> batch (python/lws.pyx:495-499).
+
+        Stays on device between stages (the reference re-extends and
+        re-extracts the spectrogram around every stage,
+        python/lws.pyx:256/288/355; here the split pair never leaves HBM).
+        """
+        was_pair = self._is_pair(S)
+        pair = self._as_pair(S)
+        pair = self.nofuture_lws(pair)
+        pair = self.online_lws(pair)
+        pair = self.batch_lws(pair)
+        return self._ret(pair, was_pair)
+
+
+# lowercase alias for drop-in compatibility with `lws.lws(...)`
+lws = LWS

@@ -1,0 +1,168 @@
+"""Batched STFT / iSTFT / consistency metric (device layer, JAX).
+
+TPU-first redesign of the reference analysis-synthesis loop
+(python/lws.pyx:43-144): instead of a Python loop of per-frame np.fft calls,
+signals are framed with one gather and transformed with a single batched
+jnp.fft.rfft / irfft over (..., M, fsize); overlap-add uses a scatter-add.
+All functions accept arbitrary leading batch dimensions (the reference Python
+binding is mono-only, python/lws.pyx:46-47; the MATLAB binding is
+multi-channel, matlab/stft.m:27-29 - here batching is native).
+
+Complex values exist only *inside* jit bodies: the `_ri` device functions take
+and return split real/imag float pairs (complex dtypes at jit boundaries are
+unsupported on some TPU runtimes, and split planes are the TPU-native layout).
+The public stft/istft/get_consistency wrappers keep the reference's
+complex-array signatures by splitting/merging at the host boundary.
+
+Frame-count and padding arithmetic is identical to the reference, including
+the `perfectrec` pre/post padding so the signal starts on a frame boundary.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["stft", "istft", "get_consistency", "stft_ri", "istft_ri",
+           "get_consistency_ri", "frame_signal"]
+
+
+def _stft_layout(n_samples: int, fsize: int, fshift: int, perfectrec: bool):
+    """Static padding/frame-count arithmetic (mirrors python/lws.pyx:54-77)."""
+    if perfectrec:
+        residual = fsize % fshift
+        pre = fsize - fshift if residual == 0 else fsize - residual
+        post = 0 if n_samples % fshift == 0 else fshift - n_samples % fshift
+        padded = pre + n_samples + post
+        M = padded // fshift
+    else:
+        pre = 0
+        rem = (n_samples - fsize) % fshift
+        post = 0 if rem == 0 else fshift - rem
+        padded = n_samples + post
+        M = (padded - fsize) // fshift + 1
+    tail = (M - 1) * fshift + fsize - padded
+    return pre, post + tail, M
+
+
+def frame_signal(x: jnp.ndarray, fsize: int, fshift: int, M: int) -> jnp.ndarray:
+    """Gather (..., n) -> (..., M, fsize) frames at starts m*fshift."""
+    idx = np.arange(M)[:, None] * fshift + np.arange(fsize)[None, :]
+    return x[..., idx]
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _stft_jit(x, awin, fsize, fshift, fftsize, perfectrec):
+    n = x.shape[-1]
+    pre, post, M = _stft_layout(n, fsize, fshift, perfectrec)
+    pad = [(0, 0)] * (x.ndim - 1) + [(pre, post)]
+    x = jnp.pad(x, pad)
+    frames = frame_signal(x, fsize, fshift, M) * awin.astype(x.dtype)
+    spec = jnp.fft.rfft(frames, n=fftsize, axis=-1)
+    return jnp.real(spec), jnp.imag(spec)
+
+
+def stft_ri(x, fsize, fshift, awin, fftsize=None, perfectrec=False):
+    """Batched STFT: (..., n) real -> split pair of (..., M, fftsize//2+1)."""
+    if fftsize is None:
+        fftsize = fsize
+    if fftsize % 2 == 1:
+        raise ValueError("Odd ffts not supported.")
+    x = jnp.asarray(x)
+    return _stft_jit(x, jnp.asarray(awin), int(fsize), int(fshift), int(fftsize),
+                     bool(perfectrec))
+
+
+def stft(x, fsize, fshift, awin, fftsize=None, perfectrec=False) -> np.ndarray:
+    """Batched STFT returning a host complex array (reference signature,
+    python/lws.pyx:43-90)."""
+    sr, si = stft_ri(x, fsize, fshift, awin, fftsize, perfectrec)
+    return np.asarray(sr) + 1j * np.asarray(si)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _istft_jit(sr, si, swin, fshift, fftsize, perfectrec):
+    M, Nreal = sr.shape[-2], sr.shape[-1]
+    fsize = 2 * (Nreal - 1)
+    spec = sr + 1j * si  # complex lives only inside the jit body
+    frames = jnp.fft.irfft(spec, n=fftsize, axis=-1)[..., :fsize]
+    frames = frames * swin[:fsize].astype(sr.dtype)
+
+    T = fshift * (M - 1) + fsize
+    idx = (np.arange(M)[:, None] * fshift + np.arange(fsize)[None, :]).reshape(-1)
+    flat = frames.reshape(frames.shape[:-2] + (M * fsize,))
+    signal = jnp.zeros(frames.shape[:-2] + (T,), dtype=sr.dtype)
+    signal = signal.at[..., idx].add(flat)
+
+    if perfectrec:
+        residual = fsize % fshift
+        pre = fsize - fshift if residual == 0 else fsize - residual
+        signal = signal[..., pre:(fshift - fsize)]
+    return signal
+
+
+def _prep_swin(swin, awin, fshift, fftsize):
+    if awin is not None:
+        # re-normalise for perfect reconstruction (python/lws.pyx:105-108)
+        from .windows import synthwin
+        swin = synthwin(np.asarray(awin), fshift, swin=np.asarray(swin))
+    swin = np.asarray(swin)
+    if fftsize > len(swin):
+        swin = np.concatenate([swin, np.zeros(fftsize - len(swin))])
+    return swin
+
+
+def istft_ri(sr, si, fshift, swin, awin=None, fftsize=None, perfectrec=False):
+    """Batched iSTFT from a split pair -> (..., n_samples) real device array."""
+    sr = jnp.asarray(sr)
+    Nreal = sr.shape[-1]
+    if Nreal % 2 != 1:
+        raise ValueError("Expected only non-negative frequencies in the spectrogram.")
+    fsize = 2 * (Nreal - 1)
+    if fftsize is None:
+        fftsize = fsize
+    swin = _prep_swin(swin, awin, fshift, fftsize)
+    return _istft_jit(sr, jnp.asarray(si), jnp.asarray(swin), int(fshift),
+                      int(fftsize), bool(perfectrec))
+
+
+def istft(spec, fshift, swin, awin=None, fftsize=None, perfectrec=False):
+    """Batched iSTFT from a complex array (reference signature,
+    python/lws.pyx:93-137)."""
+    spec = np.asarray(spec)
+    return istft_ri(spec.real.copy(), spec.imag.copy(), fshift, swin, awin,
+                    fftsize, perfectrec)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _consistency_jit(sr, si, awin, swin, fsize, fshift, fftsize, perfectrec):
+    x = _istft_jit(sr, si, swin, fshift, fftsize, perfectrec)
+    br, bi = _stft_jit(x, awin, fsize, fshift, fftsize, perfectrec)
+    dr, di = br - sr, bi - si
+    axes = (-2, -1)
+    num = jnp.sum(sr * sr + si * si, axis=axes)
+    den = jnp.sum(dr * dr + di * di, axis=axes)
+    return 10.0 * (jnp.log10(num) - jnp.log10(den))
+
+
+def get_consistency_ri(sr, si, fsize, fshift, awin, swin, fftsize=None, perfectrec=False):
+    """Consistency 20*log10(||S|| / ||STFT(iSTFT(S)) - S||) dB from a split pair.
+
+    Batched: one dB value per leading batch element (python/lws.pyx:140-144).
+    """
+    if fftsize is None:
+        fftsize = 2 * (jnp.asarray(sr).shape[-1] - 1)
+    swin = _prep_swin(swin, None, fshift, fftsize)
+    return _consistency_jit(jnp.asarray(sr), jnp.asarray(si), jnp.asarray(awin),
+                            jnp.asarray(swin), int(fsize), int(fshift), int(fftsize),
+                            bool(perfectrec))
+
+
+def get_consistency(S, fsize, fshift, awin, swin, fftsize=None, perfectrec=False):
+    """Consistency metric from a complex array (reference signature)."""
+    S = np.asarray(S)
+    return get_consistency_ri(S.real.copy(), S.imag.copy(), fsize, fshift, awin, swin,
+                              fftsize, perfectrec)
