@@ -28,6 +28,7 @@ from . import stft as _stft
 from .core.batch import lws_sweeps
 from .core.online import rtisi_la
 from .core.stencil import make_stencil, merge, split
+from .ops.pallas_stencil import pallas_lws_sweeps, pallas_supported
 from .weights import build_stencil, create_weights
 from .windows import (
     build_asymmetric_windows,
@@ -79,6 +80,9 @@ class LWS:
         dtype=None,
         order="gs",
         inner_passes=1,
+        backend="auto",
+        pallas_block=16,
+        pallas_micro=4,
     ):
         if isinstance(awin_or_fsize, (int, np.integer)):
             awin = default_window(int(awin_or_fsize), fshift, symmetric=symmetric_win)
@@ -112,6 +116,15 @@ class LWS:
         self.use_simplifications = use_simplifications
         self.order = order
         self.inner_passes = int(inner_passes)
+        self.backend = backend
+        self.pallas_block = int(pallas_block)
+        self.pallas_micro = int(pallas_micro)
+        # Q=2 couples every frame to its direct neighbours; any within-group
+        # parallel update destabilises the iteration (measured), so fall back
+        # to exact frame-sequential order there.
+        Qi_early = int(np.ceil(len(awin) / float(fshift)))
+        if Qi_early == 2:
+            self.pallas_micro = 1
         if dtype is not None and jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
             dtype = jnp.float64 if jnp.dtype(dtype) == jnp.complex128 else jnp.float32
         self.rdtype = jnp.dtype(dtype) if dtype is not None else _default_real_dtype()
@@ -155,13 +168,57 @@ class LWS:
             for d in range(1, self.look_ahead + 1)
         ]
 
-        self._batch_fn = jax.jit(functools.partial(
+        self._batch_xla = jax.jit(functools.partial(
             lws_sweeps, st=self._st_batch, order=self.order, inner_passes=self.inner_passes))
-        self._nofuture_fn = jax.jit(
+        self._nofuture_xla = jax.jit(
             functools.partial(lws_sweeps, st=self._st_nofuture, order=self.order))
         self._online_fn = jax.jit(functools.partial(
             rtisi_la, st_la=self._st_la, st_ai=self._st_nofuture, st_af=self._st_af,
             inner_passes=self.inner_passes))
+        self._batch_pallas = jax.jit(functools.partial(
+            pallas_lws_sweeps, st=self._st_batch, block=self.pallas_block,
+            micro=self.pallas_micro, inner_passes=self.inner_passes))
+        self._nofuture_pallas = jax.jit(functools.partial(
+            pallas_lws_sweeps, st=self._st_nofuture, block=self.pallas_block,
+            micro=self.pallas_micro))
+
+    def _use_pallas(self, pair):
+        """Pick the whole-in-VMEM Pallas kernel when it applies.
+
+        Conditions: TPU backend, float32 planes, reference-like "gs" order,
+        Q small enough for the aligned halo layout, and the plane fits VMEM.
+        """
+        if self.backend == "xla":
+            return False
+        T, F = pair[0].shape[-2], pair[0].shape[-1]
+        ok = (jax.default_backend() == "tpu"
+              and self.rdtype == jnp.float32
+              and self.order == "gs"
+              and self._Qi <= 9
+              and pallas_supported(T, F, self._Qi, self.L))
+        if self.backend == "pallas" and not ok:
+            raise ValueError("pallas backend requested but unsupported for this config")
+        return ok
+
+    def _batch_fn(self, sr, si, thresholds):
+        if self._use_pallas((sr, si)):
+            return self._run_flat(self._batch_pallas, sr, si, thresholds)
+        return self._batch_xla(sr, si, thresholds=thresholds)
+
+    def _nofuture_fn(self, sr, si, thresholds):
+        if self._use_pallas((sr, si)):
+            return self._run_flat(self._nofuture_pallas, sr, si, thresholds)
+        return self._nofuture_xla(sr, si, thresholds=thresholds)
+
+    @staticmethod
+    def _run_flat(fn, sr, si, thresholds):
+        """Collapse extra leading batch dims to the kernel's (B, T, F)."""
+        shape = sr.shape
+        if sr.ndim > 3:
+            flat = (-1,) + shape[-2:]
+            osr, osi = fn(sr.reshape(flat), si.reshape(flat), thresholds=thresholds)
+            return osr.reshape(shape), osi.reshape(shape)
+        return fn(sr, si, thresholds=thresholds)
 
     # ---------------- analysis / synthesis ----------------
 

@@ -1,0 +1,96 @@
+"""Pallas whole-in-VMEM kernel vs the XLA reference path (interpret mode on CPU)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from lws_tpu import LWS, get_thresholds
+from lws_tpu.core.stencil import merge, split
+from lws_tpu.ops import pallas_lws_sweeps, pallas_supported
+
+
+def _setup(golden, dtype=jnp.float32):
+    p = LWS(int(golden.fsize), int(golden.fshift), L=int(golden.L), dtype=dtype)
+    A = np.abs(golden.S).astype(np.complex64)
+    return p, A, split(A, dtype=dtype)
+
+
+def test_micro1_matches_xla_gs(golden):
+    """micro=1 reproduces the frame-sequential Gauss-Seidel order: same
+    consistency trajectory as the XLA "gs" path on every config."""
+    if int(golden.Q) > 9:
+        pytest.skip("pallas layout supports Q <= 9")
+    p, A, pair = _setup(golden)
+    thr = jnp.asarray(get_thresholds(100, 100, 0.1, 1), dtype=jnp.float32)
+    out_p = merge(*pallas_lws_sweeps(*pair, st=p._st_batch, thresholds=thr,
+                                     block=16, micro=1, interpret=True))
+    out_x = np.asarray(p.batch_lws(A, thresholds=np.asarray(thr)))
+    c_p = float(np.asarray(p.get_consistency(out_p)))
+    c_x = float(np.asarray(p.get_consistency(out_x)))
+    assert abs(c_p - c_x) < 0.2, (c_p, c_x)
+    assert c_p > float(golden.consistency_batch) - 0.6
+
+
+def test_micro1_short_run_is_exact(golden_q4):
+    """Over a few sweeps the micro=1 order matches XLA-gs numerically."""
+    p, A, pair = _setup(golden_q4)
+    thr = jnp.asarray(get_thresholds(3, 1, 0.1, 1), dtype=jnp.float32)
+    out_p = merge(*pallas_lws_sweeps(*pair, st=p._st_batch, thresholds=thr,
+                                     block=16, micro=1, interpret=True))
+    out_x = np.asarray(p.batch_lws(A, thresholds=np.asarray(thr)))
+    np.testing.assert_allclose(out_p, out_x, atol=2e-3)
+
+
+def test_blocked_quality_and_magnitudes(golden):
+    p, A, pair = _setup(golden)
+    if int(golden.Q) > 9:
+        pytest.skip("pallas layout supports Q <= 9")
+    thr = jnp.asarray(get_thresholds(100, 100, 0.1, 1), dtype=jnp.float32)
+    out = merge(*pallas_lws_sweeps(*pair, st=p._st_batch, thresholds=thr,
+                                   block=8, micro=2, interpret=True))
+    c = float(np.asarray(p.get_consistency(out)))
+    # blocked order trades some fidelity for speed; magnitudes always exact
+    assert c > float(golden.consistency_A) + 8, c
+    np.testing.assert_allclose(np.abs(out), np.abs(A), atol=1e-4)
+
+
+def test_nofuture_pallas_micro1_exact(golden_q4):
+    """No-future has strictly-past taps, so micro=1 == the reference raster
+    order exactly (the same argument as the XLA-gs exactness test)."""
+    p, A, pair = _setup(golden_q4)
+    thr = jnp.asarray(get_thresholds(1, 1, 0.1, 1), dtype=jnp.float32)
+    out = merge(*pallas_lws_sweeps(*pair, st=p._st_nofuture, thresholds=thr,
+                                   block=16, micro=1, interpret=True))
+    ref = golden_q4.nofuture_i1_anyq.astype(np.complex64)
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+    c = float(np.asarray(p.get_consistency(out)))
+    assert c > float(golden_q4.consistency_nofuture_anyq) - 0.3
+
+
+def test_batched_grid(golden_q4):
+    p, A, _ = _setup(golden_q4)
+    Ab = np.stack([A, 0.5 * A, 2 * A])
+    pair = split(Ab, dtype=jnp.float32)
+    thr = jnp.asarray(get_thresholds(2, 1, 0.1, 1), dtype=jnp.float32)
+    out = merge(*pallas_lws_sweeps(*pair, st=p._st_batch, thresholds=thr,
+                                   block=8, interpret=True))
+    out0 = merge(*pallas_lws_sweeps(*split(A, dtype=jnp.float32), st=p._st_batch,
+                                    thresholds=thr, block=8, interpret=True))
+    np.testing.assert_allclose(out[0], out0, atol=1e-6)
+    # scale-invariance of the phase iteration (thresholds scale with mean amp)
+    np.testing.assert_allclose(out[1], 0.5 * out0, atol=1e-5)
+
+
+def test_pallas_supported_budget():
+    assert pallas_supported(628, 257, 4, 5)
+    assert pallas_supported(1100, 1025, 4, 5)
+    assert not pallas_supported(200_000, 2049, 4, 5)
+
+
+def test_backend_validation(golden_q4):
+    g = golden_q4
+    with pytest.raises(ValueError, match="pallas backend requested"):
+        p = LWS(int(g.fsize), int(g.fshift), L=int(g.L), dtype=jnp.float32,
+                backend="pallas")
+        A = np.abs(g.S).astype(np.complex64)
+        p.batch_lws(A, iterations=1)  # CPU backend -> pallas unavailable

@@ -1,0 +1,78 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lws_tpu import LWS, get_thresholds
+from lws_tpu.core.stencil import split, merge
+from lws_tpu.parallel import make_mesh, shard_pair, sharded_lws_sweeps
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return jax.devices()
+
+
+def test_data_parallel_matches_single(golden_q4, eight_devices):
+    g = golden_q4
+    p = LWS(int(g.fsize), int(g.fshift), L=int(g.L), dtype=jnp.float64)
+    A1 = np.abs(g.S).astype(np.complex128)
+    A = np.stack([A1 * (1 + 0.1 * i) for i in range(8)])
+    thr = get_thresholds(3, 100, 0.1, 1)
+    mesh = make_mesh(data=8)
+    pair = shard_pair(split(A, dtype=jnp.float64), mesh)
+    out_sharded = merge(*p._batch_fn(*pair, thresholds=jnp.asarray(thr)))
+    out_single = np.asarray(p.batch_lws(A, thresholds=thr))
+    np.testing.assert_allclose(out_sharded, out_single, atol=1e-10)
+
+
+def test_time_sharded_halo_exchange(golden_q4, eight_devices):
+    """Time-sharded sweeps converge like unsharded ones (block-Jacobi across
+    shard boundaries differs only at the 3-frame halos per sweep)."""
+    g = golden_q4
+    p = LWS(int(g.fsize), int(g.fshift), L=int(g.L), dtype=jnp.float64)
+    A1 = np.abs(g.S).astype(np.complex128)
+    T = A1.shape[0] - (A1.shape[0] % 4)  # divisible by time shards
+    A1 = A1[:T]
+    A = np.stack([A1, A1 * 0.7])
+    thr = jnp.asarray(get_thresholds(20, 100, 0.1, 1))
+    mesh = make_mesh(data=2, time=4)
+    pair = shard_pair(split(A, dtype=jnp.float64), mesh, time_sharded=True)
+    out = merge(*sharded_lws_sweeps(*pair, st=p._st_batch, thresholds=thr, mesh=mesh))
+    # quality equivalent to the unsharded sweep
+    c_sh = np.asarray(p.get_consistency(out))
+    c_un = np.asarray(p.get_consistency(np.asarray(p.batch_lws(A, thresholds=thr))))
+    assert np.all(c_sh > c_un - 0.6), (c_sh, c_un)
+    # magnitudes preserved
+    np.testing.assert_allclose(np.abs(out), np.abs(A), atol=1e-9)
+
+
+def test_time_sharded_jacobi_matches_unsharded_interior(golden_q4, eight_devices):
+    """With Jacobi order, a single sweep is exact away from the frozen-halo
+    difference: interior shard boundaries read identical neighbour values."""
+    g = golden_q4
+    p = LWS(int(g.fsize), int(g.fshift), L=int(g.L), dtype=jnp.float64, order="jacobi")
+    A1 = np.abs(g.S).astype(np.complex128)
+    T = A1.shape[0] - (A1.shape[0] % 4)
+    A1 = A1[:T]
+    thr = jnp.asarray(get_thresholds(1, 0, 0.1, 1))  # threshold 0 -> all bins
+    mesh = make_mesh(data=1, time=4)
+    pair = shard_pair(split(A1, dtype=jnp.float64), mesh, time_sharded=True)
+    out = merge(*sharded_lws_sweeps(*pair, st=p._st_batch, thresholds=thr,
+                                    mesh=mesh, order="jacobi"))
+    ref = np.asarray(p.batch_lws(A1, thresholds=thr))
+    np.testing.assert_allclose(out, ref, atol=1e-10)
+
+
+def test_time_shard_validation(golden_q4, eight_devices):
+    g = golden_q4
+    p = LWS(int(g.fsize), int(g.fshift), L=int(g.L), dtype=jnp.float64)
+    mesh = make_mesh(data=1, time=4)
+    bad = split(np.ones((2, 5, 257), dtype=np.complex128), dtype=jnp.float64)
+    with pytest.raises(ValueError, match="not divisible"):
+        sharded_lws_sweeps(*bad, st=p._st_batch,
+                           thresholds=jnp.asarray([0.0]), mesh=mesh)
