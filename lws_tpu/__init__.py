@@ -42,6 +42,8 @@ from .windows import (
 from .core.batch import lws_sweeps
 from .core.online import rtisi_la
 from .core.stencil import make_stencil, merge, split
+from .mel import linear_to_mel, mel_filterbank, mel_to_linear, mel_vocoder_pipeline
+from .streaming import StreamingLWS
 
 __version__ = "0.1.0"
 
@@ -50,6 +52,8 @@ __all__ = [
     "get_thresholds", "overlap_factor", "create_weights", "build_stencil",
     "stft", "istft", "get_consistency", "stft_ri", "istft_ri", "get_consistency_ri",
     "batch_lws", "nofuture_lws", "online_lws", "extspec", "split", "merge",
+    "StreamingLWS", "mel_filterbank", "linear_to_mel", "mel_to_linear",
+    "mel_vocoder_pipeline",
 ]
 
 

@@ -1,0 +1,224 @@
+"""Streaming (real-time chunked) online LWS.
+
+The reference's online mode (TF_RTISI_LA, lwslib.cpp:1424-1492) is an offline
+function over a whole spectrogram even though the algorithm itself is a
+sliding frame-commit pipeline. This module exposes the pipeline as a true
+streaming processor: push raw audio chunks of any size, receive committed
+audio back with a fixed latency of (look_ahead + 1) frames plus the
+analysis/synthesis window overlap.
+
+State per stream (all jnp, jit-stepped once per new frame):
+  - sample ring: the last fsize-fshift input samples (framing overlap)
+  - phase window: the last LA+Q frames of the evolving spectrogram, with
+    frequency halos maintained exactly like the offline kernels (the update
+    of frame m only ever reads frames <= m, so this window reproduces the
+    offline lax.scan state exactly)
+  - magnitude window: the fixed per-frame targets
+  - OLA tail: fsize-fshift samples of synthesis overlap
+  - running magnitude sum/count for the threshold scale (the offline code
+    scales thresholds by the global mean input magnitude, python/lws.pyx:361;
+    a stream cannot know the future, so the default is the running mean -
+    pass mean_amp explicitly for bit-parity with the offline function)
+
+With an explicit mean_amp, feeding a whole signal chunk-by-chunk produces the
+same committed frames as proc.online_lws on the full spectrogram.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .core.stencil import freq_extend, update_frame
+
+__all__ = ["StreamingLWS"]
+
+
+class StreamingLWS:
+    """Chunked real-time online LWS around an LWS processor's weight set."""
+
+    def __init__(self, proc, iterations=None, thresholds=None, mean_amp=None):
+        from .windows import get_thresholds
+
+        self.proc = proc
+        if iterations is None:
+            iterations = proc.online_iterations or 10
+        if thresholds is None:
+            thresholds = get_thresholds(iterations, proc.online_alpha,
+                                        proc.online_beta, proc.online_gamma)
+        self.thresholds = jnp.asarray(np.asarray(thresholds, np.float64), dtype=proc.rdtype)
+        self.iters = int(len(thresholds))
+        self.mean_amp = mean_amp
+
+        Q, L, LA = proc._Qi, proc.L, proc.look_ahead
+        self.Q, self.L, self.LA = Q, L, LA
+        self.K = LA + Q  # LA+1 updatable frames + Q-1 committed context
+        self.F = proc.fftsize // 2 + 1
+        self.latency_frames = LA + 1
+
+        self._step = jax.jit(self._make_step())
+        self.reset()
+
+    # ------------------------------------------------------------------
+    def reset(self):
+        proc = self.proc
+        Fp = self.F + 2 * self.L
+        self._win_r = None  # allocated lazily on the first frame
+        self._win_i = None
+        self._amp_w = None
+        self._frames_seen = 0
+        self._amp_sum = 0.0
+        self._sample_buf = np.zeros(0, dtype=np.float64)
+        self._started = False
+        self._ola_tail = np.zeros(proc.fsize, dtype=np.float64)
+        self._committed = 0
+        self.committed_frames: list = []
+
+    # ------------------------------------------------------------------
+    def _make_step(self):
+        proc = self.proc
+        Q, L, LA, K, F = self.Q, self.L, self.LA, self.K, self.F
+        st_ai = proc._st_nofuture
+        st_af = proc._st_af
+        st_la = proc._st_la
+        iters = self.iters
+        thr_sched = self.thresholds
+        rows = K + (Q - 1)  # window rows + right dummy pad for patch slicing
+
+        def step(win_r, win_i, amp_w, frame_r, frame_i, frame_amp, mean_amp, m_abs):
+            """Advance by one frame. Window rows 0..K-1 hold frames
+            (newest at K-1); rows K.. are never-read dummy padding."""
+            # shift in the new frame (freq-extended)
+            er, ei = freq_extend(frame_r[None, :], frame_i[None, :], L)
+            win_r = jnp.concatenate([win_r[1:K], er, win_r[K:]], axis=0)
+            win_i = jnp.concatenate([win_i[1:K], ei, win_i[K:]], axis=0)
+            amp_w = jnp.concatenate([amp_w[1:K], frame_amp[None, :], amp_w[K:]], axis=0)
+
+            newest = K - 1  # window row of the newest frame
+            # update_frame takes the "true" index m of an array whose frame m
+            # sits at row m + Q - 1; our newest row index maps to:
+            m_newest = newest - (Q - 1)
+
+            # (1) asym-init from strictly-past frames, threshold 0
+            win_r, win_i = update_frame(win_r, win_i, m_newest, amp_w[newest],
+                                        st_ai, jnp.zeros((), amp_w.dtype))
+
+            def h_body(h, w):
+                wr, wi = w
+                thr = jax.lax.dynamic_index_in_dim(thr_sched, h, keepdims=False) * mean_amp
+                for d in range(LA, 0, -1):
+                    # frames before the stream start are frozen halo replicas
+                    # (offline clamps lframe at 0, lwslib.cpp:1434-1439)
+                    wr, wi = jax.lax.cond(
+                        m_abs - d >= 0,
+                        lambda ww, dd=d: update_frame(ww[0], ww[1], m_newest - dd,
+                                                      amp_w[newest - dd],
+                                                      st_la[dd - 1], thr),
+                        lambda ww: ww,
+                        (wr, wi),
+                    )
+                wr, wi = update_frame(wr, wi, m_newest, amp_w[newest], st_af, thr)
+                return wr, wi
+
+            win_r, win_i = jax.lax.fori_loop(0, iters, h_body, (win_r, win_i))
+
+            # the frame leaving the look-ahead window is now final
+            committed_row = newest - LA
+            return win_r, win_i, amp_w, (win_r[committed_row, L:L + F],
+                                         win_i[committed_row, L:L + F])
+
+        return step
+
+    # ------------------------------------------------------------------
+    def _init_window(self, er0, ei0, amp0):
+        """Fill the window with replicas of the first frame (extspec edge
+        semantics, lwslib.cpp:21-25) - left context rows = original frame 0."""
+        rows = self.K + (self.Q - 1)
+        self._win_r = jnp.tile(er0[None, :], (rows, 1))
+        self._win_i = jnp.tile(ei0[None, :], (rows, 1))
+        self._amp_w = jnp.tile(amp0[None, :], (rows, 1))
+
+    def push(self, x) -> np.ndarray:
+        """Feed audio samples; returns any newly committed audio samples.
+
+        Frames are taken at starts 0, fshift, 2*fshift, ... of the stream
+        (apply the perfectrec pre-padding yourself if you need alignment with
+        proc.stft(x, perfectrec=True)).
+        """
+        proc = self.proc
+        fsize, fshift = proc.fsize, proc.fshift
+        x = np.asarray(x, dtype=np.float64).reshape(-1)
+        self._sample_buf = np.concatenate([self._sample_buf, x])
+        out = []
+        while len(self._sample_buf) >= fsize:
+            out.append(self._process_frame(self._sample_buf[:fsize]))
+            self._sample_buf = self._sample_buf[fshift:]
+        return np.concatenate(out) if out else np.zeros(0)
+
+    def _process_frame(self, frame) -> np.ndarray:
+        proc = self.proc
+        spec = np.fft.rfft(frame * proc.awin, n=proc.fftsize)
+        return self.push_frame(spec)
+
+    def push_frame(self, spec) -> np.ndarray:
+        """Feed one spectrogram frame directly (complex with untrusted phase,
+        or magnitudes - e.g. streaming vocoder output). Returns committed
+        audio samples (empty while the look-ahead pipeline fills)."""
+        proc = self.proc
+        spec = np.asarray(spec).astype(np.complex128).reshape(-1)
+        fr = jnp.asarray(spec.real, dtype=proc.rdtype)
+        fi = jnp.asarray(spec.imag, dtype=proc.rdtype)
+        amp = jnp.asarray(np.abs(spec), dtype=proc.rdtype)
+
+        if self._win_r is None:
+            er, ei = freq_extend(fr[None, :], fi[None, :], self.L)
+            self._init_window(er[0], ei[0], amp)
+
+        self._frames_seen += 1
+        self._amp_sum += float(np.mean(np.abs(spec)))
+        mean = (self.mean_amp if self.mean_amp is not None
+                else self._amp_sum / self._frames_seen)
+
+        self._win_r, self._win_i, self._amp_w, (cr, ci) = self._step(
+            self._win_r, self._win_i, self._amp_w, fr, fi, amp,
+            jnp.asarray(mean, dtype=proc.rdtype),
+            jnp.asarray(self._frames_seen - 1, dtype=jnp.int32))
+
+        # frames before the LA pipeline fills are replicas, not real commits
+        if self._frames_seen <= self.LA:
+            return np.zeros(0)
+        spec = np.asarray(cr) + 1j * np.asarray(ci)
+        self.committed_frames.append(spec)
+        return self._emit(spec)
+
+    def _emit(self, committed_spec) -> np.ndarray:
+        """Overlap-add one committed frame; emit fshift finished samples."""
+        proc = self.proc
+        fsize, fshift = proc.fsize, proc.fshift
+        iframe = np.fft.irfft(committed_spec, n=proc.fftsize)[:fsize] * proc.swin[:fsize]
+        self._ola_tail += iframe
+        done, self._ola_tail = (self._ola_tail[:fshift].copy(),
+                                np.concatenate([self._ola_tail[fshift:],
+                                                np.zeros(fshift)]))
+        self._committed += 1
+        return done
+
+    def flush(self) -> np.ndarray:
+        """Drain the pipeline: zero-pad so buffered samples form final frames,
+        push LA+1 silent frames through the look-ahead, then emit the OLA
+        tail. (Trailing silent frames have zero magnitude, so they commit as
+        silence and never perturb earlier frames' magnitudes.)"""
+        proc = self.proc
+        fsize, fshift = proc.fsize, proc.fshift
+        pending = len(self._sample_buf)
+        pad = 0
+        if pending > fsize - fshift:  # complete the last partial frame(s)
+            pad += -(pending - (fsize - fshift)) % fshift
+        pad += (self.LA + 1) * fshift + max(0, fsize - (pending + fshift))
+        out = [self.push(np.zeros(pad))]
+        out.append(self._ola_tail.copy())
+        self._ola_tail = np.zeros(fsize, dtype=np.float64)
+        return np.concatenate(out)
