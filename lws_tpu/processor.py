@@ -28,6 +28,7 @@ from . import stft as _stft
 from .core.batch import lws_sweeps
 from .core.online import rtisi_la
 from .core.stencil import make_stencil, merge, split
+from .ops.pallas_online import pallas_rtisi_la
 from .ops.pallas_stencil import pallas_lws_sweeps, pallas_supported
 from .weights import build_stencil, create_weights
 from .windows import (
@@ -172,9 +173,12 @@ class LWS:
             lws_sweeps, st=self._st_batch, order=self.order, inner_passes=self.inner_passes))
         self._nofuture_xla = jax.jit(
             functools.partial(lws_sweeps, st=self._st_nofuture, order=self.order))
-        self._online_fn = jax.jit(functools.partial(
+        self._online_xla = jax.jit(functools.partial(
             rtisi_la, st_la=self._st_la, st_ai=self._st_nofuture, st_af=self._st_af,
             inner_passes=self.inner_passes))
+        self._online_pallas = jax.jit(functools.partial(
+            pallas_rtisi_la, st_la=self._st_la, st_ai=self._st_nofuture,
+            st_af=self._st_af))
         self._batch_pallas = jax.jit(functools.partial(
             pallas_lws_sweeps, st=self._st_batch, block=self.pallas_block,
             micro=self.pallas_micro, inner_passes=self.inner_passes))
@@ -209,6 +213,11 @@ class LWS:
         if self._use_pallas((sr, si)):
             return self._run_flat(self._nofuture_pallas, sr, si, thresholds)
         return self._nofuture_xla(sr, si, thresholds=thresholds)
+
+    def _online_fn(self, sr, si, thresholds):
+        if self._use_pallas((sr, si)) and self.look_ahead <= 8:
+            return self._run_flat(self._online_pallas, sr, si, thresholds)
+        return self._online_xla(sr, si, thresholds=thresholds)
 
     @staticmethod
     def _run_flat(fn, sr, si, thresholds):

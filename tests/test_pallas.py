@@ -94,3 +94,40 @@ def test_backend_validation(golden_q4):
                 backend="pallas")
         A = np.abs(g.S).astype(np.complex64)
         p.batch_lws(A, iterations=1)  # CPU backend -> pallas unavailable
+
+
+def test_pallas_online_matches_scan(golden_q4):
+    """Pallas sliding-window online == XLA scan semantics (quality; bitwise
+    divergence grows chaotically along the sequential pipeline in f32)."""
+    from lws_tpu.ops.pallas_online import pallas_rtisi_la
+    p, A, pair = _setup(golden_q4)
+    thr = jnp.asarray(get_thresholds(4, 1, 0.1, 1), dtype=jnp.float32)
+    out_p = merge(*pallas_rtisi_la(*pair, st_la=p._st_la, st_ai=p._st_nofuture,
+                                   st_af=p._st_af, thresholds=thr, interpret=True))
+    out_x = merge(*p._online_xla(*pair, thresholds=thr))
+    c_p = float(np.asarray(p.get_consistency(out_p)))
+    c_x = float(np.asarray(p.get_consistency(out_x)))
+    assert abs(c_p - c_x) < 0.5, (c_p, c_x)
+    # early frames agree tightly before chaotic divergence sets in
+    np.testing.assert_allclose(out_p[:6], np.asarray(out_x)[:6], atol=1e-3)
+    np.testing.assert_allclose(np.abs(out_p), np.abs(A), atol=1e-4)
+
+
+def test_pallas_online_batched(golden_q4):
+    from lws_tpu.ops.pallas_online import pallas_rtisi_la
+    p, A, _ = _setup(golden_q4)
+    Ab = np.stack([A, 0.3 * A])
+    pair = split(Ab, dtype=jnp.float32)
+    thr = jnp.asarray(get_thresholds(2, 1, 0.1, 1), dtype=jnp.float32)
+    out = merge(*pallas_rtisi_la(*pair, st_la=p._st_la, st_ai=p._st_nofuture,
+                                 st_af=p._st_af, thresholds=thr, interpret=True))
+    out0 = merge(*pallas_rtisi_la(*split(A, dtype=jnp.float32), st_la=p._st_la,
+                                  st_ai=p._st_nofuture, st_af=p._st_af,
+                                  thresholds=thr, interpret=True))
+    np.testing.assert_allclose(out[0], out0, atol=1e-6)
+    # scale-equivariance holds in exact arithmetic; in f32 the sequential
+    # pipeline amplifies rounding, so check magnitudes + quality instead
+    np.testing.assert_allclose(np.abs(out[1]), 0.3 * np.abs(A), atol=1e-4)
+    c = np.asarray(p.get_consistency((jnp.asarray(out.real, jnp.float32),
+                                      jnp.asarray(out.imag, jnp.float32))))
+    assert abs(c[0] - c[1]) < 0.5, c
