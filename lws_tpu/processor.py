@@ -302,8 +302,13 @@ class LWS:
             pair = self._online_fn(*pair, thresholds=thr)
         return self._ret(pair, was_pair)
 
-    def batch_lws(self, S, iterations=None, thresholds=None):
-        """Full batch LWS sweeps."""
+    def batch_lws(self, S, iterations=None, thresholds=None, mesh=None):
+        """Full batch LWS sweeps.
+
+        With `mesh` (a ('data','time') jax Mesh), long spectrograms run
+        time-sharded with per-sweep halo exchange - the long-form multi-host
+        path (see lws_tpu.parallel).
+        """
         if iterations is None:
             iterations = self.batch_iterations
         thr = self._thr(iterations, self.batch_alpha, self.batch_beta,
@@ -311,7 +316,14 @@ class LWS:
         was_pair = self._is_pair(S)
         pair = self._as_pair(S)
         if thr.shape[0]:
-            pair = self._batch_fn(*pair, thresholds=thr)
+            if mesh is not None:
+                from .parallel import shard_pair, sharded_lws_sweeps
+                pair = shard_pair(pair, mesh, time_sharded=True)
+                pair = sharded_lws_sweeps(*pair, st=self._st_batch, thresholds=thr,
+                                          mesh=mesh, order=self.order,
+                                          inner_passes=self.inner_passes)
+            else:
+                pair = self._batch_fn(*pair, thresholds=thr)
         return self._ret(pair, was_pair)
 
     def run_lws(self, S):

@@ -76,3 +76,21 @@ def test_time_shard_validation(golden_q4, eight_devices):
     with pytest.raises(ValueError, match="not divisible"):
         sharded_lws_sweeps(*bad, st=p._st_batch,
                            thresholds=jnp.asarray([0.0]), mesh=mesh)
+
+
+def test_longform_4096_time_sharded(eight_devices):
+    """BASELINE config-5 geometry: 4096-pt FFT, long spectrogram sharded
+    along time over the mesh, driven through the processor API."""
+    proc = LWS(4096, 1024, L=5, dtype=jnp.float64)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(48000 * 2)  # ~2s at 48 kHz
+    S = proc.stft(x)
+    T = S.shape[0] - (S.shape[0] % 8)
+    A = np.abs(S[:T]).astype(np.complex128)
+    mesh = make_mesh(data=1, time=8)
+    out = proc.batch_lws(A, thresholds=np.zeros(4), mesh=mesh)
+    assert out.shape == A.shape
+    c0 = float(np.asarray(proc.get_consistency(A)))
+    c1 = float(np.asarray(proc.get_consistency(out)))
+    assert c1 > c0 + 3, (c0, c1)
+    np.testing.assert_allclose(np.abs(out), np.abs(A), atol=1e-9)
