@@ -1,0 +1,413 @@
+"""Sublane-packed Pallas LWS kernels: P utterances per program.
+
+The unpacked kernels process one utterance per grid program, so a
+frame-sequential update touches (1, F) rows - 1/8 of the VPU's sublanes. Here
+the layout is transposed to (T, B, F) and each program owns a P-utterance
+slab stored as (rows, P, F): every frame update is a full (P, F) tile and
+every row index is a whole-tile offset on the leading (untiled) dimension -
+no sublane alignment constraints - so the exact reference frame order
+(micro=1) runs at P/8 of full vector width.
+
+IO arrays live in HBM (memory_space ANY) and are moved with explicit DMA:
+with (T, P, F) f32 slabs, pipelined VMEM input blocks would not fit the
+16 MB budget, so each program DMAs its slab into scratch once, sweeps, and
+DMAs the result back. P=4 keeps two planes + amplitudes within VMEM.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.stencil import Stencil
+
+__all__ = ["packed_lws_sweeps", "packed_rtisi_la", "packed_supported"]
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def packed_supported(T: int, F: int, Q: int, L: int, pack: int = 4,
+                     vmem_budget: int = 14 * 2 ** 20) -> bool:
+    fp = _cdiv(F, 128) * 128
+    per_plane = (T + 2 * Q + 8) * pack * fp * 4
+    weights = 2 * 8 * (2 * Q - 1) * (2 * L + 1) * fp * 4
+    return 3 * per_plane + weights < vmem_budget
+
+
+def _freq_halo(rows_r, rows_i, F, L):
+    """(..., F) -> (..., F+2L): conjugate-reflected margins via width-1
+    static lane slices (Mosaic has no lane reverse)."""
+    left = [(rows_r[..., k:k + 1], -rows_i[..., k:k + 1]) for k in range(L, 0, -1)]
+    right = [(rows_r[..., k:k + 1], -rows_i[..., k:k + 1])
+             for k in range(F - 2, F - 2 - L, -1)]
+    er = jnp.concatenate([p[0] for p in left] + [rows_r] + [p[0] for p in right], axis=-1)
+    ei = jnp.concatenate([p[1] for p in left] + [rows_i] + [p[1] for p in right], axis=-1)
+    return er, ei
+
+
+def _dma(src, dst, sem):
+    cp = pltpu.make_async_copy(src, dst, sem)
+    cp.start()
+    cp.wait()
+
+
+# ---------------------------------------------------------------------------
+# batch / no-future sweeps
+# ---------------------------------------------------------------------------
+
+def _sweeps_kernel(thr_ref, mean_ref, sr_hbm, si_hbm, amp_hbm, wr_ref, wi_ref,
+                   osr_hbm, osi_hbm, xr, xi, am, sem, *, T, F, Q, L, iters,
+                   micro, nz, inner_passes, P):
+    # scratch/slab lane width is padded to a 128 multiple (DMA requires
+    # tile-aligned transfers); compute slices values down to F lanes
+    """One program = P utterances. Scratch layout (rows, P, F); frame t at
+    row Q-1+t."""
+    Q1 = Q - 1
+    n_groups = _cdiv(T, micro)
+    g = pl.program_id(0)
+
+    _dma(sr_hbm.at[g], xr.at[Q1:Q1 + T], sem)
+    _dma(si_hbm.at[g], xi.at[Q1:Q1 + T], sem)
+    _dma(amp_hbm.at[g], am.at[:], sem)
+    for j in range(Q1):
+        xr[j] = xr[Q1]
+        xi[j] = xi[Q1]
+        xr[Q1 + T + j] = xr[Q1 + T - 1]
+        xi[Q1 + T + j] = xi[Q1 + T - 1]
+
+    mean_amp = mean_ref[0]  # (P, 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (micro, 1, 1), 0)
+    has_centre = bool(nz[Q1].any())
+
+    def group_update(it, grp, _):
+        thr = thr_ref[it] * mean_amp  # (P, 1)
+        start = grp * micro
+        pr = xr[pl.ds(start, micro + 2 * Q1)][..., :F]  # (micro+2Q1, P, F)
+        pi = xi[pl.ds(start, micro + 2 * Q1)][..., :F]
+        er, ei = _freq_halo(pr, pi, F, L)
+
+        tr = jnp.zeros((micro, P, F), dtype=pr.dtype)
+        ti = jnp.zeros_like(tr)
+        for dr in range(2 * Q - 1):
+            if dr == Q1:
+                continue
+            for dk in range(2 * L + 1):
+                if not nz[dr, dk]:
+                    continue
+                wr = wr_ref[dr, dk, :]
+                wi = wi_ref[dr, dk, :]
+                br = er[dr:dr + micro, :, dk:dk + F]
+                bi = ei[dr:dr + micro, :, dk:dk + F]
+                tr += wr * br - wi * bi
+                ti += wr * bi + wi * br
+
+        amp_g = am[pl.ds(start, micro)][..., :F]
+        old_r = er[Q1:Q1 + micro, :, L:L + F]
+        old_i = ei[Q1:Q1 + micro, :, L:L + F]
+        valid = (start + row_ids) < T
+
+        cr_rows = er[Q1:Q1 + micro]
+        ci_rows = ei[Q1:Q1 + micro]
+        new_r, new_i = old_r, old_i
+        for _pass in range(inner_passes if has_centre else 1):
+            fr, fi = tr, ti
+            if has_centre:
+                for dk in range(2 * L + 1):
+                    if not nz[Q1, dk]:
+                        continue
+                    wr = wr_ref[Q1, dk, :]
+                    wi = wi_ref[Q1, dk, :]
+                    fr = fr + (wr * cr_rows[..., dk:dk + F] - wi * ci_rows[..., dk:dk + F])
+                    fi = fi + (wr * ci_rows[..., dk:dk + F] + wi * cr_rows[..., dk:dk + F])
+            a = jnp.sqrt(fr * fr + fi * fi)
+            scale = amp_g / jnp.where(a > 0, a, 1)
+            cond = (amp_g > thr) & (a > 0) & valid
+            new_r = jnp.where(cond, fr * scale, old_r)
+            new_i = jnp.where(cond, fi * scale, old_i)
+            if has_centre and _pass + 1 < inner_passes:
+                cr_rows, ci_rows = _freq_halo(new_r, new_i, F, L)
+
+        xr[pl.ds(Q1 + start, micro), :, :F] = new_r
+        xi[pl.ds(Q1 + start, micro), :, :F] = new_i
+        return _
+
+    def one_iter(it, _):
+        return jax.lax.fori_loop(
+            0, n_groups, lambda b, c: group_update(it, b, c), _, unroll=False)
+
+    jax.lax.fori_loop(0, iters, one_iter, 0, unroll=False)
+
+    _dma(xr.at[Q1:Q1 + T], osr_hbm.at[g], sem)
+    _dma(xi.at[Q1:Q1 + T], osi_hbm.at[g], sem)
+
+
+def packed_lws_sweeps(
+    sr: jnp.ndarray,
+    si: jnp.ndarray,
+    st: Stencil,
+    thresholds: jnp.ndarray,
+    micro: int = 1,
+    pack: int = 4,
+    inner_passes: int = 1,
+    interpret: bool = False,
+):
+    """Batch/no-future sweeps, P utterances per program. (B, T, F) planes."""
+    if thresholds.shape[0] == 0:
+        return sr, si
+    squeeze = sr.ndim == 2
+    if squeeze:
+        sr, si = sr[None], si[None]
+    B, T, F = sr.shape
+    Q, L = st.Q, st.L
+    if Q - 1 > 8:
+        raise ValueError(f"packed kernel supports Q <= 9, got Q={Q}")
+    iters = int(thresholds.shape[0])
+    micro = max(1, int(micro))
+    P = int(pack)
+
+    amp = jnp.sqrt(sr * sr + si * si)
+    mean_amp = jnp.mean(amp, axis=(-2, -1))  # (B,)
+
+    b_pad = (-B) % P
+    if b_pad:
+        pad3 = ((0, b_pad), (0, 0), (0, 0))
+        sr, si, amp = jnp.pad(sr, pad3), jnp.pad(si, pad3), jnp.pad(amp, pad3)
+        mean_amp = jnp.pad(mean_amp, (0, b_pad))
+    G = (B + b_pad) // P
+    n_groups = _cdiv(T, micro)
+    t_pad = n_groups * micro - T
+    if t_pad:
+        amp = jnp.pad(amp, ((0, 0), (0, t_pad), (0, 0)))
+
+    # (G, T, P, Fpad) layout: each program DMAs its whole slab via at[g];
+    # lane width padded to the 128 tile so DMA needs no lane slicing
+    Fpad = _cdiv(F, 128) * 128
+
+    def to_slabs(a):
+        a = jnp.moveaxis(a.reshape(G, P, a.shape[1], F), 1, 2)
+        return jnp.pad(a, ((0, 0), (0, 0), (0, 0), (0, Fpad - F)))
+
+    sr_t, si_t, amp_t = to_slabs(sr), to_slabs(si), to_slabs(amp)
+    mean_t = mean_amp.reshape(G, P, 1)
+
+    kern = functools.partial(
+        _sweeps_kernel, T=T, F=F, Q=Q, L=L, iters=iters, micro=micro,
+        nz=st.nz, inner_passes=int(inner_passes), P=P)
+
+    rows = (Q - 1) + n_groups * micro + (Q - 1) + micro  # + read slack
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    wspec = pl.BlockSpec((2 * Q - 1, 2 * L + 1, F), lambda g: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    osr, osi = pl.pallas_call(
+        kern,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # thresholds
+            pl.BlockSpec((1, P, 1), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            hbm, hbm, hbm, wspec, wspec,
+        ],
+        out_specs=(hbm, hbm),
+        out_shape=(jax.ShapeDtypeStruct((G, T, P, Fpad), sr.dtype),
+                   jax.ShapeDtypeStruct((G, T, P, Fpad), si.dtype)),
+        scratch_shapes=[
+            pltpu.VMEM((rows, P, Fpad), sr.dtype),
+            pltpu.VMEM((rows, P, Fpad), si.dtype),
+            pltpu.VMEM((n_groups * micro, P, Fpad), sr.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(thresholds.astype(sr.dtype), mean_t, sr_t, si_t, amp_t,
+      st.Wr[:, :, :F], st.Wi[:, :, :F])
+
+    def from_slabs(a):  # (G, T, P, Fpad) -> (B, T, F)
+        return jnp.moveaxis(a[..., :F], 2, 1).reshape(G * P, T, F)[:B]
+
+    osr, osi = from_slabs(osr), from_slabs(osi)
+    if squeeze:
+        osr, osi = osr[0], osi[0]
+    return osr, osi
+
+
+# ---------------------------------------------------------------------------
+# online RTISI-LA
+# ---------------------------------------------------------------------------
+
+def _online_kernel(thr_ref, mean_ref, sr_hbm, si_hbm, amp_hbm, wr_ref, wi_ref,
+                   osr_hbm, osi_hbm, inr, ini, am, stage_r, stage_i, sem,
+                   *, T, F, Q, L, LA, iters, nzs, P):
+    """One program = P utterances, slab (T, P, F); sliding register window."""
+    W = LA + Q
+    WR = W + Q - 1
+    g = pl.program_id(0)
+    mean_amp = mean_ref[0]  # (P, 1)
+    big = jnp.asarray(3.4e38, inr.dtype)
+
+    _dma(sr_hbm.at[g], inr.at[:], sem)
+    _dma(si_hbm.at[g], ini.at[:], sem)
+    _dma(amp_hbm.at[g], am.at[:], sem)
+
+    def set_row(arr, row, idx):
+        parts = []
+        if idx > 0:
+            parts.append(arr[:idx])
+        parts.append(row)
+        if idx + 1 < arr.shape[0]:
+            parts.append(arr[idx + 1:])
+        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else row
+
+    def row_update(win_r, win_i, idx, w_set, thr, amp_row):
+        nz = nzs[w_set]
+        tr = jnp.zeros((1, P, F), dtype=win_r.dtype)
+        ti = jnp.zeros_like(tr)
+        for dr in range(2 * Q - 1):
+            for dk in range(2 * L + 1):
+                if not nz[dr, dk]:
+                    continue
+                wr = wr_ref[w_set, dr, dk, :]
+                wi = wi_ref[w_set, dr, dk, :]
+                r = idx - (Q - 1) + dr
+                br = win_r[r:r + 1, :, dk:dk + F]
+                bi = win_i[r:r + 1, :, dk:dk + F]
+                tr += wr * br - wi * bi
+                ti += wr * bi + wi * br
+        a = jnp.sqrt(tr * tr + ti * ti)
+        scale = amp_row / jnp.where(a > 0, a, 1)
+        cond = (amp_row > thr) & (a > 0)
+        old_r = win_r[idx:idx + 1, :, L:L + F]
+        old_i = win_i[idx:idx + 1, :, L:L + F]
+        new_r = jnp.where(cond, tr * scale, old_r)
+        new_i = jnp.where(cond, ti * scale, old_i)
+        er, ei = _freq_halo(new_r, new_i, F, L)
+        return set_row(win_r, er, idx), set_row(win_i, ei, idx)
+
+    newest = W - 1
+
+    def frame_step(m, carry):
+        win_r, win_i = carry
+        live = m < T
+        mc = jnp.minimum(m, T - 1)
+        fr_, fi_ = _freq_halo(inr[pl.ds(mc, 1)][..., :F], ini[pl.ds(mc, 1)][..., :F], F, L)
+        win_r = jnp.concatenate([win_r[1:W], fr_, win_r[W:]], axis=0)
+        win_i = jnp.concatenate([win_i[1:W], fi_, win_i[W:]], axis=0)
+
+        amp_m = jnp.where(live, am[pl.ds(mc, 1)][..., :F], 0.0)
+        thr0 = jnp.where(live, jnp.zeros((), inr.dtype), big)
+        win_r, win_i = row_update(win_r, win_i, newest, 0, thr0, amp_m)
+
+        def h_body(h, wcar):
+            wr_, wi_ = wcar
+            thr = jnp.where(live, thr_ref[h] * mean_amp, big)
+            for d in range(LA, 0, -1):
+                md = jnp.clip(m - d, 0, T - 1)
+                amp_d = jnp.where(m - d >= 0, am[pl.ds(md, 1)][..., :F], 0.0)
+                wr_, wi_ = row_update(wr_, wi_, newest - d, 2 + (d - 1), thr, amp_d)
+            return row_update(wr_, wi_, newest, 1, thr, amp_m)
+
+        win_r, win_i = jax.lax.fori_loop(0, iters, h_body, (win_r, win_i))
+
+        # frame m-LA is final: stage the row and DMA it straight to HBM
+        c = m - LA
+        cc = jnp.clip(c, 0, T - 1)
+        @pl.when(jnp.logical_and(c >= 0, c < T))
+        def _():
+            stage_r[:, :, :F] = win_r[newest - LA:newest - LA + 1, :, L:L + F]
+            stage_i[:, :, :F] = win_i[newest - LA:newest - LA + 1, :, L:L + F]
+            _dma(stage_r.at[:], osr_hbm.at[g, pl.ds(cc, 1)], sem)
+            _dma(stage_i.at[:], osi_hbm.at[g, pl.ds(cc, 1)], sem)
+        return win_r, win_i
+
+    f0r, f0i = _freq_halo(inr[0:1][..., :F], ini[0:1][..., :F], F, L)
+    win_r0 = jnp.tile(f0r, (WR, 1, 1))
+    win_i0 = jnp.tile(f0i, (WR, 1, 1))
+    jax.lax.fori_loop(0, T + LA, frame_step, (win_r0, win_i0), unroll=False)
+
+
+def packed_rtisi_la(
+    sr: jnp.ndarray,
+    si: jnp.ndarray,
+    st_la: list[Stencil],
+    st_ai: Stencil,
+    st_af: Stencil,
+    thresholds: jnp.ndarray,
+    pack: int = 4,
+    interpret: bool = False,
+):
+    """Online RTISI-LA, P utterances per program. (B, T, F) planes."""
+    if thresholds.shape[0] == 0:
+        return sr, si
+    squeeze = sr.ndim == 2
+    if squeeze:
+        sr, si = sr[None], si[None]
+    B, T, F = sr.shape
+    Q, L = st_af.Q, st_af.L
+    LA = len(st_la)
+    if Q - 1 > 8 or LA > 8:
+        raise ValueError("packed online kernel supports Q <= 9 and LA <= 8")
+    iters = int(thresholds.shape[0])
+    P = int(pack)
+
+    amp = jnp.sqrt(sr * sr + si * si)
+    mean_amp = jnp.mean(amp, axis=(-2, -1))
+    b_pad = (-B) % P
+    if b_pad:
+        pad3 = ((0, b_pad), (0, 0), (0, 0))
+        sr, si, amp = jnp.pad(sr, pad3), jnp.pad(si, pad3), jnp.pad(amp, pad3)
+        mean_amp = jnp.pad(mean_amp, (0, b_pad))
+    G = (B + b_pad) // P
+
+    Fpad = _cdiv(F, 128) * 128
+
+    def to_slabs(a):
+        a = jnp.moveaxis(a.reshape(G, P, T, F), 1, 2)
+        return jnp.pad(a, ((0, 0), (0, 0), (0, 0), (0, Fpad - F)))
+
+    sr_t, si_t, amp_t = to_slabs(sr), to_slabs(si), to_slabs(amp)
+    mean_t = mean_amp.reshape(G, P, 1)
+
+    sets = [st_ai, st_af] + list(st_la)
+    wrs = jnp.stack([s.Wr[:, :, :F] for s in sets])
+    wis = jnp.stack([s.Wi[:, :, :F] for s in sets])
+    nzs = [s.nz for s in sets]
+
+    kern = functools.partial(_online_kernel, T=T, F=F, Q=Q, L=L, LA=LA,
+                             iters=iters, nzs=nzs, P=P)
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    wspec = pl.BlockSpec(wrs.shape, lambda g: (0, 0, 0, 0), memory_space=pltpu.VMEM)
+    osr, osi = pl.pallas_call(
+        kern,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, P, 1), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            hbm, hbm, hbm, wspec, wspec,
+        ],
+        out_specs=(hbm, hbm),
+        out_shape=(jax.ShapeDtypeStruct((G, T, P, Fpad), sr.dtype),
+                   jax.ShapeDtypeStruct((G, T, P, Fpad), si.dtype)),
+        scratch_shapes=[
+            pltpu.VMEM((T, P, Fpad), sr.dtype),
+            pltpu.VMEM((T, P, Fpad), si.dtype),
+            pltpu.VMEM((T, P, Fpad), sr.dtype),
+            pltpu.VMEM((1, P, Fpad), sr.dtype),
+            pltpu.VMEM((1, P, Fpad), si.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(thresholds.astype(sr.dtype), mean_t, sr_t, si_t, amp_t, wrs, wis)
+
+    def from_slabs(a):
+        return jnp.moveaxis(a[..., :F], 2, 1).reshape(G * P, T, F)[:B]
+
+    osr, osi = from_slabs(osr), from_slabs(osi)
+    if squeeze:
+        osr, osi = osr[0], osi[0]
+    return osr, osi

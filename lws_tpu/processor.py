@@ -29,6 +29,7 @@ from .core.batch import lws_sweeps
 from .core.online import rtisi_la
 from .core.stencil import make_stencil, merge, split
 from .ops.pallas_online import pallas_rtisi_la
+from .ops.pallas_packed import packed_lws_sweeps, packed_rtisi_la, packed_supported
 from .ops.pallas_stencil import pallas_lws_sweeps, pallas_supported
 from .weights import build_stencil, create_weights
 from .windows import (
@@ -83,7 +84,8 @@ class LWS:
         inner_passes=1,
         backend="auto",
         pallas_block=16,
-        pallas_micro=4,
+        pallas_micro=1,
+        pallas_pack=4,
     ):
         if isinstance(awin_or_fsize, (int, np.integer)):
             awin = default_window(int(awin_or_fsize), fshift, symmetric=symmetric_win)
@@ -120,6 +122,7 @@ class LWS:
         self.backend = backend
         self.pallas_block = int(pallas_block)
         self.pallas_micro = int(pallas_micro)
+        self.pallas_pack = int(pallas_pack)
         # Q=2 couples every frame to its direct neighbours; any within-group
         # parallel update destabilises the iteration (measured), so fall back
         # to exact frame-sequential order there.
@@ -185,6 +188,15 @@ class LWS:
         self._nofuture_pallas = jax.jit(functools.partial(
             pallas_lws_sweeps, st=self._st_nofuture, block=self.pallas_block,
             micro=self.pallas_micro))
+        self._batch_packed = jax.jit(functools.partial(
+            packed_lws_sweeps, st=self._st_batch, micro=self.pallas_micro,
+            pack=self.pallas_pack, inner_passes=self.inner_passes))
+        self._nofuture_packed = jax.jit(functools.partial(
+            packed_lws_sweeps, st=self._st_nofuture, micro=self.pallas_micro,
+            pack=self.pallas_pack))
+        self._online_packed = jax.jit(functools.partial(
+            packed_rtisi_la, st_la=self._st_la, st_ai=self._st_nofuture,
+            st_af=self._st_af, pack=self.pallas_pack))
 
     def _use_pallas(self, pair):
         """Pick the whole-in-VMEM Pallas kernel when it applies.
@@ -204,18 +216,28 @@ class LWS:
             raise ValueError("pallas backend requested but unsupported for this config")
         return ok
 
+    def _packed_ok(self, pair):
+        T, F = pair[0].shape[-2], pair[0].shape[-1]
+        return packed_supported(T, F, self._Qi, self.L, self.pallas_pack)
+
     def _batch_fn(self, sr, si, thresholds):
         if self._use_pallas((sr, si)):
+            if self._packed_ok((sr, si)):
+                return self._run_flat(self._batch_packed, sr, si, thresholds)
             return self._run_flat(self._batch_pallas, sr, si, thresholds)
         return self._batch_xla(sr, si, thresholds=thresholds)
 
     def _nofuture_fn(self, sr, si, thresholds):
         if self._use_pallas((sr, si)):
+            if self._packed_ok((sr, si)):
+                return self._run_flat(self._nofuture_packed, sr, si, thresholds)
             return self._run_flat(self._nofuture_pallas, sr, si, thresholds)
         return self._nofuture_xla(sr, si, thresholds=thresholds)
 
     def _online_fn(self, sr, si, thresholds):
         if self._use_pallas((sr, si)) and self.look_ahead <= 8:
+            if self._packed_ok((sr, si)):
+                return self._run_flat(self._online_packed, sr, si, thresholds)
             return self._run_flat(self._online_pallas, sr, si, thresholds)
         return self._online_xla(sr, si, thresholds=thresholds)
 

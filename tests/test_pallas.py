@@ -131,3 +131,46 @@ def test_pallas_online_batched(golden_q4):
     c = np.asarray(p.get_consistency((jnp.asarray(out.real, jnp.float32),
                                       jnp.asarray(out.imag, jnp.float32))))
     assert abs(c[0] - c[1]) < 0.5, c
+
+
+def test_packed_micro1_matches_xla_gs(golden_q4):
+    """Sublane-packed kernel, micro=1 == the XLA frame-GS order."""
+    from lws_tpu.ops.pallas_packed import packed_lws_sweeps
+    p, A, _ = _setup(golden_q4)
+    Ab = np.stack([A * (0.5 + 0.5 * i) for i in range(3)])  # B=3, pads to 4
+    pair = split(Ab, dtype=jnp.float32)
+    thr = jnp.asarray(get_thresholds(5, 1, 0.1, 1), dtype=jnp.float32)
+    out_p = merge(*packed_lws_sweeps(*pair, st=p._st_batch, thresholds=thr,
+                                     micro=1, interpret=True))
+    out_x = np.asarray(p.batch_lws(Ab, thresholds=np.asarray(thr)))
+    np.testing.assert_allclose(out_p, out_x, atol=2e-3)
+    close = np.isclose(out_p, out_x, rtol=1e-5, atol=1e-5)
+    assert close.mean() > 0.99
+
+
+def test_packed_online_quality(golden_q4):
+    from lws_tpu.ops.pallas_packed import packed_rtisi_la
+    p, A, _ = _setup(golden_q4)
+    Ab = np.stack([A, A * 0.7])
+    pair = split(Ab, dtype=jnp.float32)
+    thr = jnp.asarray(get_thresholds(3, 1, 0.1, 1), dtype=jnp.float32)
+    out = merge(*packed_rtisi_la(*pair, st_la=p._st_la, st_ai=p._st_nofuture,
+                                 st_af=p._st_af, thresholds=thr, interpret=True))
+    out_x = merge(*p._online_xla(*pair, thresholds=thr))
+    c = np.asarray(p.get_consistency((jnp.asarray(out.real, jnp.float32),
+                                      jnp.asarray(out.imag, jnp.float32))))
+    c_x = np.asarray(p.get_consistency(out_x))
+    assert np.all(np.abs(c - c_x) < 0.5), (c, c_x)
+    np.testing.assert_allclose(np.abs(out), np.abs(Ab), atol=1e-4)
+
+
+def test_packed_nofuture_exact(golden_q4):
+    """No-future via the packed kernel: strictly-past taps, bit-equivalent
+    to the reference raster order."""
+    from lws_tpu.ops.pallas_packed import packed_lws_sweeps
+    p, A, pair = _setup(golden_q4)
+    thr = jnp.asarray(get_thresholds(1, 1, 0.1, 1), dtype=jnp.float32)
+    out = merge(*packed_lws_sweeps(*pair, st=p._st_nofuture, thresholds=thr,
+                                   micro=1, interpret=True))
+    ref = golden_q4.nofuture_i1_anyq.astype(np.complex64)
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
