@@ -26,7 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.stencil import Stencil
 
-__all__ = ["packed_lws_sweeps", "packed_rtisi_la", "packed_supported"]
+__all__ = ["packed_lws_sweeps", "packed_rtisi_la", "packed_supported", "tiled_lws_sweeps"]
 
 
 def _cdiv(a, b):
@@ -406,6 +406,207 @@ def packed_rtisi_la(
 
     def from_slabs(a):
         return jnp.moveaxis(a[..., :F], 2, 1).reshape(G * P, T, F)[:B]
+
+    osr, osi = from_slabs(osr), from_slabs(osi)
+    if squeeze:
+        osr, osi = osr[0], osi[0]
+    return osr, osi
+
+
+# ---------------------------------------------------------------------------
+# time-tiled batch / no-future sweeps (arbitrary T)
+# ---------------------------------------------------------------------------
+
+def _tiled_sweeps_kernel(thr_ref, mean_ref, s_hbm_r, s_hbm_i, amp_hbm,
+                         wr_ref, wi_ref, osr_hbm, osi_hbm, xr, xi, am, sem,
+                         *, T, F, Q, L, iters, micro, nz, inner_passes, P, TT):
+    """Long-T variant: the evolving state lives in the (pre-halo-padded)
+    OUTPUT slab in HBM; each iteration sweeps time tiles of TT frames,
+    DMA-ing tile+halo in and the updated tile out. Because tiles are
+    processed in order and written back immediately, the frame order is
+    IDENTICAL to the fully-resident kernel (previous tile's updated tail is
+    re-read as the left halo; next tile's head still holds last iteration's
+    values). HBM slabs have Q-1 frozen edge-replica rows at both ends, so
+    tile DMA never needs clamping."""
+    Q1 = Q - 1
+    g = pl.program_id(0)
+    n_tiles = _cdiv(T, TT)
+    groups_per_tile = TT // micro
+
+    # the input slabs are ALIASED to the outputs (input_output_aliases), so
+    # osr/osi already hold the halo-padded input; sweeps evolve them in place
+    del s_hbm_r, s_hbm_i
+
+    mean_amp = mean_ref[0]  # (P, 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (micro, 1, 1), 0)
+    has_centre = bool(nz[Q1].any())
+
+    def tile_sweep(it, k, _):
+        thr = thr_ref[it] * mean_amp
+        t0 = k * TT  # first frame of the tile
+        rows = TT + 2 * Q1
+        _dma(osr_hbm.at[g, pl.ds(t0, rows)], xr.at[0:rows], sem)
+        _dma(osi_hbm.at[g, pl.ds(t0, rows)], xi.at[0:rows], sem)
+        _dma(amp_hbm.at[g, pl.ds(t0, TT)], am.at[0:TT], sem)
+
+        def group_update(grp, __):
+            start = grp * micro  # tile-local frame offset
+            pr = xr[pl.ds(start, micro + 2 * Q1)][..., :F]
+            pi = xi[pl.ds(start, micro + 2 * Q1)][..., :F]
+            er, ei = _freq_halo(pr, pi, F, L)
+
+            tr = jnp.zeros((micro, P, F), dtype=pr.dtype)
+            ti = jnp.zeros_like(tr)
+            for dr in range(2 * Q - 1):
+                if dr == Q1:
+                    continue
+                for dk in range(2 * L + 1):
+                    if not nz[dr, dk]:
+                        continue
+                    wr = wr_ref[dr, dk, :]
+                    wi = wi_ref[dr, dk, :]
+                    tr += wr * er[dr:dr + micro, :, dk:dk + F] - wi * ei[dr:dr + micro, :, dk:dk + F]
+                    ti += wr * ei[dr:dr + micro, :, dk:dk + F] + wi * er[dr:dr + micro, :, dk:dk + F]
+
+            amp_g = am[pl.ds(start, micro)][..., :F]
+            old_r = er[Q1:Q1 + micro, :, L:L + F]
+            old_i = ei[Q1:Q1 + micro, :, L:L + F]
+            valid = (t0 + start + row_ids) < T
+
+            cr_rows = er[Q1:Q1 + micro]
+            ci_rows = ei[Q1:Q1 + micro]
+            new_r, new_i = old_r, old_i
+            for _pass in range(inner_passes if has_centre else 1):
+                fr, fi = tr, ti
+                if has_centre:
+                    for dk in range(2 * L + 1):
+                        if not nz[Q1, dk]:
+                            continue
+                        wr = wr_ref[Q1, dk, :]
+                        wi = wi_ref[Q1, dk, :]
+                        fr = fr + (wr * cr_rows[..., dk:dk + F] - wi * ci_rows[..., dk:dk + F])
+                        fi = fi + (wr * ci_rows[..., dk:dk + F] + wi * cr_rows[..., dk:dk + F])
+                a = jnp.sqrt(fr * fr + fi * fi)
+                scale = amp_g / jnp.where(a > 0, a, 1)
+                cond = (amp_g > thr) & (a > 0) & valid
+                new_r = jnp.where(cond, fr * scale, old_r)
+                new_i = jnp.where(cond, fi * scale, old_i)
+                if has_centre and _pass + 1 < inner_passes:
+                    cr_rows, ci_rows = _freq_halo(new_r, new_i, F, L)
+
+            xr[pl.ds(Q1 + start, micro), :, :F] = new_r
+            xi[pl.ds(Q1 + start, micro), :, :F] = new_i
+            return __
+
+        jax.lax.fori_loop(0, groups_per_tile, group_update, 0, unroll=False)
+        _dma(xr.at[Q1:Q1 + TT], osr_hbm.at[g, pl.ds(Q1 + t0, TT)], sem)
+        _dma(xi.at[Q1:Q1 + TT], osi_hbm.at[g, pl.ds(Q1 + t0, TT)], sem)
+        return _
+
+    def one_iter(it, _):
+        return jax.lax.fori_loop(
+            0, n_tiles, lambda k, c: tile_sweep(it, k, c), _, unroll=False)
+
+    jax.lax.fori_loop(0, iters, one_iter, 0, unroll=False)
+
+
+def tiled_lws_sweeps(
+    sr: jnp.ndarray,
+    si: jnp.ndarray,
+    st: Stencil,
+    thresholds: jnp.ndarray,
+    micro: int = 1,
+    pack: int = 4,
+    tile: int | None = None,
+    inner_passes: int = 1,
+    interpret: bool = False,
+):
+    """Batch/no-future sweeps for arbitrary T: exact same frame order as
+    packed_lws_sweeps, with the state streamed through VMEM in time tiles.
+    `tile=None` sizes the tile to the VMEM budget."""
+    if thresholds.shape[0] == 0:
+        return sr, si
+    squeeze = sr.ndim == 2
+    if squeeze:
+        sr, si = sr[None], si[None]
+    B, T, F = sr.shape
+    Q, L = st.Q, st.L
+    Q1 = Q - 1
+    if Q1 > 8:
+        raise ValueError(f"packed kernel supports Q <= 9, got Q={Q}")
+    iters = int(thresholds.shape[0])
+    micro = max(1, int(micro))
+    P = int(pack)
+    if tile is None:
+        # 3 scratch planes (2 state + amp) within ~11 MB of VMEM
+        fpad_ = _cdiv(F, 128) * 128
+        tile = max(micro, (11 * 2 ** 20) // (3 * P * fpad_ * 4) - 2 * (Q - 1))
+        tile = min(tile, 512)
+    TT = max(micro, (int(tile) // micro) * micro)
+
+    amp = jnp.sqrt(sr * sr + si * si)
+    mean_amp = jnp.mean(amp, axis=(-2, -1))
+
+    b_pad = (-B) % P
+    if b_pad:
+        pad3 = ((0, b_pad), (0, 0), (0, 0))
+        sr, si, amp = jnp.pad(sr, pad3), jnp.pad(si, pad3), jnp.pad(amp, pad3)
+        mean_amp = jnp.pad(mean_amp, (0, b_pad))
+    G = (B + b_pad) // P
+    n_tiles = _cdiv(T, TT)
+    t_pad = n_tiles * TT - T
+    Fpad = _cdiv(F, 128) * 128
+
+    def to_slabs(a, halo):
+        # (B, T, F) -> (G, Q1 + T + t_pad + Q1, P, Fpad) with edge-replica halos
+        a = jnp.moveaxis(a.reshape(G, P, T, F), 1, 2)
+        if halo:
+            top = jnp.tile(a[:, :1], (1, Q1, 1, 1))
+            bot = jnp.tile(a[:, -1:], (1, Q1 + t_pad, 1, 1))
+            a = jnp.concatenate([top, a, bot], axis=1)
+        elif t_pad:
+            a = jnp.pad(a, ((0, 0), (0, t_pad), (0, 0), (0, 0)))
+        return jnp.pad(a, ((0, 0), (0, 0), (0, 0), (0, Fpad - F)))
+
+    sr_t = to_slabs(sr, True)
+    si_t = to_slabs(si, True)
+    amp_t = to_slabs(amp, False)
+    mean_t = mean_amp.reshape(G, P, 1)
+
+    kern = functools.partial(
+        _tiled_sweeps_kernel, T=T, F=F, Q=Q, L=L, iters=iters, micro=micro,
+        nz=st.nz, inner_passes=int(inner_passes), P=P, TT=TT)
+
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    wspec = pl.BlockSpec((2 * Q - 1, 2 * L + 1, F), lambda g: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    rows_hbm = Q1 + n_tiles * TT + Q1
+    osr, osi = pl.pallas_call(
+        kern,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, P, 1), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            hbm, hbm, hbm, wspec, wspec,
+        ],
+        out_specs=(hbm, hbm),
+        out_shape=(jax.ShapeDtypeStruct((G, rows_hbm, P, Fpad), sr.dtype),
+                   jax.ShapeDtypeStruct((G, rows_hbm, P, Fpad), si.dtype)),
+        scratch_shapes=[
+            pltpu.VMEM((TT + 2 * Q1, P, Fpad), sr.dtype),
+            pltpu.VMEM((TT + 2 * Q1, P, Fpad), si.dtype),
+            pltpu.VMEM((TT, P, Fpad), sr.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        input_output_aliases={2: 0, 3: 1},  # input slabs ARE the state buffers
+        interpret=interpret,
+    )(thresholds.astype(sr.dtype), mean_t, sr_t, si_t, amp_t,
+      st.Wr[:, :, :F], st.Wi[:, :, :F])
+
+    def from_slabs(a):  # strip halos + pads
+        a = a[:, Q1:Q1 + T, :, :F]
+        return jnp.moveaxis(a, 2, 1).reshape(G * P, T, F)[:B]
 
     osr, osi = from_slabs(osr), from_slabs(osi)
     if squeeze:

@@ -18,6 +18,7 @@ chaining for production pipelines).
 from __future__ import annotations
 
 import functools
+import warnings
 
 import numpy as np
 
@@ -29,7 +30,8 @@ from .core.batch import lws_sweeps
 from .core.online import rtisi_la
 from .core.stencil import make_stencil, merge, split
 from .ops.pallas_online import pallas_rtisi_la
-from .ops.pallas_packed import packed_lws_sweeps, packed_rtisi_la, packed_supported
+from .ops.pallas_packed import (packed_lws_sweeps, packed_rtisi_la,
+                                packed_supported, tiled_lws_sweeps)
 from .ops.pallas_stencil import pallas_lws_sweeps, pallas_supported
 from .weights import build_stencil, create_weights
 from .windows import (
@@ -197,6 +199,12 @@ class LWS:
         self._online_packed = jax.jit(functools.partial(
             packed_rtisi_la, st_la=self._st_la, st_ai=self._st_nofuture,
             st_af=self._st_af, pack=self.pallas_pack))
+        self._batch_tiled = jax.jit(functools.partial(
+            tiled_lws_sweeps, st=self._st_batch, micro=self.pallas_micro,
+            pack=self.pallas_pack, inner_passes=self.inner_passes))
+        self._nofuture_tiled = jax.jit(functools.partial(
+            tiled_lws_sweeps, st=self._st_nofuture, micro=self.pallas_micro,
+            pack=self.pallas_pack))
 
     def _use_pallas(self, pair):
         """Pick the whole-in-VMEM Pallas kernel when it applies.
@@ -210,8 +218,7 @@ class LWS:
         ok = (jax.default_backend() == "tpu"
               and self.rdtype == jnp.float32
               and self.order == "gs"
-              and self._Qi <= 9
-              and pallas_supported(T, F, self._Qi, self.L))
+              and self._Qi <= 9)
         if self.backend == "pallas" and not ok:
             raise ValueError("pallas backend requested but unsupported for this config")
         return ok
@@ -220,25 +227,44 @@ class LWS:
         T, F = pair[0].shape[-2], pair[0].shape[-1]
         return packed_supported(T, F, self._Qi, self.L, self.pallas_pack)
 
+    def _xla_fallback(self, fn, sr, si, thresholds, st=None):
+        """On TPU, the frame-sequential XLA scan compiles pathologically for
+        long spectrograms; fall back to Jacobi sweeps with a warning (shard
+        along time via batch_lws(mesh=...) for reference-order long-form)."""
+        if jax.default_backend() == "tpu" and self.order == "gs":
+            warnings.warn(
+                "lws_tpu: spectrogram too large for the VMEM-resident kernels; "
+                "using Jacobi-order sweeps on TPU (pass mesh=... for time-sharded "
+                "Gauss-Seidel, or backend='xla' off-TPU for the exact order)")
+            jfn = jax.jit(functools.partial(lws_sweeps, st=st, order="jacobi"))
+            return jfn(sr, si, thresholds=thresholds)
+        return fn(sr, si, thresholds=thresholds)
+
     def _batch_fn(self, sr, si, thresholds):
         if self._use_pallas((sr, si)):
             if self._packed_ok((sr, si)):
                 return self._run_flat(self._batch_packed, sr, si, thresholds)
-            return self._run_flat(self._batch_pallas, sr, si, thresholds)
-        return self._batch_xla(sr, si, thresholds=thresholds)
+            return self._run_flat(self._batch_tiled, sr, si, thresholds)
+        return self._xla_fallback(self._batch_xla, sr, si, thresholds, st=self._st_batch)
 
     def _nofuture_fn(self, sr, si, thresholds):
         if self._use_pallas((sr, si)):
             if self._packed_ok((sr, si)):
                 return self._run_flat(self._nofuture_packed, sr, si, thresholds)
-            return self._run_flat(self._nofuture_pallas, sr, si, thresholds)
+            return self._run_flat(self._nofuture_tiled, sr, si, thresholds)
         return self._nofuture_xla(sr, si, thresholds=thresholds)
 
     def _online_fn(self, sr, si, thresholds):
         if self._use_pallas((sr, si)) and self.look_ahead <= 8:
             if self._packed_ok((sr, si)):
                 return self._run_flat(self._online_packed, sr, si, thresholds)
-            return self._run_flat(self._online_pallas, sr, si, thresholds)
+            T, F = sr.shape[-2], sr.shape[-1]
+            if pallas_supported(T, F, self._Qi, self.L):
+                return self._run_flat(self._online_pallas, sr, si, thresholds)
+            raise ValueError(
+                "online LWS: spectrogram too large for the VMEM-resident kernels; "
+                "process long streams with lws_tpu.StreamingLWS (chunked, constant "
+                "memory) or split along time")
         return self._online_xla(sr, si, thresholds=thresholds)
 
     @staticmethod

@@ -174,3 +174,19 @@ def test_packed_nofuture_exact(golden_q4):
                                    micro=1, interpret=True))
     ref = golden_q4.nofuture_i1_anyq.astype(np.complex64)
     np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_tiled_equals_resident_packed(golden_q4):
+    """The time-tiled kernel is bit-identical to the fully-resident packed
+    kernel at any tile size (state round-trips through HBM between tiles)."""
+    from lws_tpu.ops.pallas_packed import packed_lws_sweeps, tiled_lws_sweeps
+    p, A, _ = _setup(golden_q4)
+    Ab = np.stack([A, 0.6 * A])
+    pair = split(Ab, dtype=jnp.float32)
+    thr = jnp.asarray(get_thresholds(5, 1, 0.1, 1), dtype=jnp.float32)
+    ref = merge(*packed_lws_sweeps(*pair, st=p._st_batch, thresholds=thr,
+                                   micro=1, interpret=True))
+    for tile in (16, 48):
+        out = merge(*tiled_lws_sweeps(*pair, st=p._st_batch, thresholds=thr,
+                                      micro=1, tile=tile, interpret=True))
+        np.testing.assert_array_equal(out, ref)
