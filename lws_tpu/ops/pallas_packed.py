@@ -86,6 +86,58 @@ def _sweeps_kernel(thr_ref, mean_ref, sr_hbm, si_hbm, amp_hbm, wr_ref, wi_ref,
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (micro, 1, 1), 0)
     has_centre = bool(nz[Q1].any())
 
+    def window_iter(it, _):
+        """micro=1 fast path: a sliding register window of the 2Q-1 frames
+        around the update point - one row read + one row write per frame
+        instead of reloading the whole patch (exact frame-GS order)."""
+        thr = thr_ref[it] * mean_amp
+
+        def halo1(j):
+            rr = xr[pl.ds(j, 1)][..., :F]
+            ri = xi[pl.ds(j, 1)][..., :F]
+            return _freq_halo(rr, ri, F, L)
+
+        rows0 = [halo1(j) for j in range(2 * Q1 + 1)]  # frames -Q1..Q1
+        win_r0 = jnp.concatenate([r for r, _i in rows0], axis=0)
+        win_i0 = jnp.concatenate([_i for r, _i in rows0], axis=0)
+
+        def frame_body(m, carry):
+            win_r, win_i = carry
+            tr = jnp.zeros((1, P, F), dtype=win_r.dtype)
+            ti = jnp.zeros_like(tr)
+            for dr in range(2 * Q - 1):
+                for dk in range(2 * L + 1):
+                    if not nz[dr, dk]:
+                        continue
+                    wr = wr_ref[dr, dk, :]
+                    wi = wi_ref[dr, dk, :]
+                    br = win_r[dr:dr + 1, :, dk:dk + F]
+                    bi = win_i[dr:dr + 1, :, dk:dk + F]
+                    tr += wr * br - wi * bi
+                    ti += wr * bi + wi * br
+            amp_m = am[pl.ds(m, 1)][..., :F]
+            a = jnp.sqrt(tr * tr + ti * ti)
+            scale = amp_m / jnp.where(a > 0, a, 1)
+            cond = (amp_m > thr) & (a > 0)
+            old_r = win_r[Q1:Q1 + 1, :, L:L + F]
+            old_i = win_i[Q1:Q1 + 1, :, L:L + F]
+            new_r = jnp.where(cond, tr * scale, old_r)
+            new_i = jnp.where(cond, ti * scale, old_i)
+            xr[pl.ds(Q1 + m, 1), :, :F] = new_r  # immediate write-back
+            xi[pl.ds(Q1 + m, 1), :, :F] = new_i
+            er, ei = _freq_halo(new_r, new_i, F, L)
+            # shift: drop the oldest row, re-centre, pull in frame m+Q (old)
+            nxt = jnp.minimum(m + 2 * Q1 + 1, T + 2 * Q1 - 1)
+            nr = xr[pl.ds(nxt, 1)][..., :F]
+            ni = xi[pl.ds(nxt, 1)][..., :F]
+            fr, fi = _freq_halo(nr, ni, F, L)
+            win_r = jnp.concatenate([win_r[1:Q1], er, win_r[Q1 + 1:], fr], axis=0)
+            win_i = jnp.concatenate([win_i[1:Q1], ei, win_i[Q1 + 1:], fi], axis=0)
+            return win_r, win_i
+
+        jax.lax.fori_loop(0, T, frame_body, (win_r0, win_i0), unroll=False)
+        return _
+
     def group_update(it, grp, _):
         thr = thr_ref[it] * mean_amp  # (P, 1)
         start = grp * micro
@@ -139,6 +191,8 @@ def _sweeps_kernel(thr_ref, mean_ref, sr_hbm, si_hbm, amp_hbm, wr_ref, wi_ref,
         return _
 
     def one_iter(it, _):
+        if micro == 1:
+            return window_iter(it, _)
         return jax.lax.fori_loop(
             0, n_groups, lambda b, c: group_update(it, b, c), _, unroll=False)
 
