@@ -177,8 +177,10 @@ def test_packed_nofuture_exact(golden_q4):
 
 
 def test_tiled_equals_resident_packed(golden_q4):
-    """The time-tiled kernel is bit-identical to the fully-resident packed
-    kernel at any tile size (state round-trips through HBM between tiles)."""
+    """The time-tiled kernel matches the fully-resident packed kernel at any
+    tile size: same frame order, tiny fp-ordering differences only (the
+    resident micro=1 path uses a register window, the tiled path per-group
+    patch loads)."""
     from lws_tpu.ops.pallas_packed import packed_lws_sweeps, tiled_lws_sweeps
     p, A, _ = _setup(golden_q4)
     Ab = np.stack([A, 0.6 * A])
@@ -186,7 +188,9 @@ def test_tiled_equals_resident_packed(golden_q4):
     thr = jnp.asarray(get_thresholds(5, 1, 0.1, 1), dtype=jnp.float32)
     ref = merge(*packed_lws_sweeps(*pair, st=p._st_batch, thresholds=thr,
                                    micro=1, interpret=True))
-    for tile in (16, 48):
-        out = merge(*tiled_lws_sweeps(*pair, st=p._st_batch, thresholds=thr,
-                                      micro=1, tile=tile, interpret=True))
-        np.testing.assert_array_equal(out, ref)
+    out16 = merge(*tiled_lws_sweeps(*pair, st=p._st_batch, thresholds=thr,
+                                    micro=1, tile=16, interpret=True))
+    out48 = merge(*tiled_lws_sweeps(*pair, st=p._st_batch, thresholds=thr,
+                                    micro=1, tile=48, interpret=True))
+    np.testing.assert_array_equal(out16, out48)  # tiling is exactly invariant
+    np.testing.assert_allclose(out16, ref, atol=2e-3)
