@@ -92,3 +92,38 @@ def test_jax_batch_quality_matches_oracle_fresh_config():
     c_j = float(np.asarray(p.get_consistency(out_j)))
     c_c = float(np.asarray(p.get_consistency(out_c)))
     assert c_j > c_c - 0.5, (c_j, c_c)
+
+
+def test_fftsize_padding_matches_oracle():
+    """fftsize > fsize: windows are zero-padded symmetrically
+    (python/lws.pyx:399-410); validate the whole path against the oracle."""
+    p = LWS(384, 96, L=3, fftsize=512, dtype=jnp.float64)
+    assert p.fsize == 512 and p.fftsize == 512  # windows padded to fftsize
+    assert np.all(p.awin[:64] == 0) and np.all(p.awin[-64:] == 0)
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal(5000)
+    S = p.stft(x)
+    A = np.abs(S).astype(np.complex128)
+    thr = get_thresholds(2, 1, 0.1, 1)
+    out_j = np.asarray(p.nofuture_lws(A, thresholds=thr))
+    out_c = oracle.oracle_sweeps(A, p.W_ai, thr, visibility=-1)
+    np.testing.assert_allclose(out_j, out_c, rtol=1e-6, atol=1e-8)
+    # batch quality parity vs oracle on this config
+    out_jb = np.asarray(p.batch_lws(A, thresholds=get_thresholds(30, 100, 0.1, 1)))
+    out_cb = oracle.oracle_sweeps(A, p.W, get_thresholds(30, 100, 0.1, 1))
+    c_j = float(np.asarray(p.get_consistency(out_jb)))
+    c_c = float(np.asarray(p.get_consistency(out_cb)))
+    assert c_j > c_c - 0.5, (c_j, c_c)
+
+
+def test_custom_window_matches_oracle():
+    """User-provided analysis window (array constructor arg)."""
+    win = np.hamming(256)
+    p = LWS(np.sqrt(win), 64, L=4, dtype=jnp.float64)
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal(4000)
+    A = np.abs(p.stft(x)).astype(np.complex128)
+    thr = get_thresholds(1, 1, 0.1, 1)
+    out_j = np.asarray(p.nofuture_lws(A, thresholds=thr))
+    out_c = oracle.oracle_sweeps(A, p.W_ai, thr, visibility=-1)
+    np.testing.assert_allclose(out_j, out_c, rtol=1e-6, atol=1e-8)

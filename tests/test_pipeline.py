@@ -152,3 +152,15 @@ def test_zero_iterations_identity(golden_q4):
     A = jnp.abs(jnp.asarray(g.S)).astype(jnp.complex128)
     np.testing.assert_array_equal(np.asarray(p.nofuture_lws(A)), np.asarray(A))
     np.testing.assert_array_equal(np.asarray(p.online_lws(A)), np.asarray(A))
+
+
+def test_run_with_metrics(golden_q4):
+    from lws_tpu.utils import run_with_metrics
+    g = golden_q4
+    p = _proc(g, nofuture_iterations=1, online_iterations=2, batch_iterations=5)
+    A = jnp.abs(jnp.asarray(g.S)).astype(jnp.complex128)
+    out, metrics = run_with_metrics(p, A, sample_rate=16000)
+    assert [m.stage for m in metrics] == ["input", "no-future", "online", "batch"]
+    assert metrics[-1].consistency_db > metrics[0].consistency_db
+    assert all(m.audio_seconds > 0 for m in metrics)
+    assert out.shape == A.shape
