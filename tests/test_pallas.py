@@ -194,3 +194,22 @@ def test_tiled_equals_resident_packed(golden_q4):
                                     micro=1, tile=48, interpret=True))
     np.testing.assert_array_equal(out16, out48)  # tiling is exactly invariant
     np.testing.assert_allclose(out16, ref, atol=2e-3)
+
+
+def test_packed_bf16_storage(golden_q4):
+    """Opt-in bf16 storage: magnitudes within bf16 quantisation, quality
+    within ~2.5 dB of f32 (documented trade-off for pack=8 throughput)."""
+    from lws_tpu.ops.pallas_packed import packed_lws_sweeps
+    p, A, pair = _setup(golden_q4)
+    thr = jnp.asarray(get_thresholds(30, 100, 0.1, 1), dtype=jnp.float32)
+    out = merge(*packed_lws_sweeps(*pair, st=p._st_batch, thresholds=thr,
+                                   micro=1, pack=8, storage=jnp.bfloat16,
+                                   interpret=True))
+    c = float(np.asarray(p.get_consistency((jnp.asarray(out.real, jnp.float32),
+                                            jnp.asarray(out.imag, jnp.float32)))))
+    f32 = merge(*packed_lws_sweeps(*pair, st=p._st_batch, thresholds=thr,
+                                   micro=1, interpret=True))
+    c32 = float(np.asarray(p.get_consistency((jnp.asarray(f32.real, jnp.float32),
+                                              jnp.asarray(f32.imag, jnp.float32)))))
+    assert c > c32 - 2.5, (c, c32)
+    np.testing.assert_allclose(np.abs(out), np.abs(A), rtol=5e-3, atol=5e-3)
