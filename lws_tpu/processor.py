@@ -207,10 +207,12 @@ class LWS:
             pack=self.pallas_pack))
 
     def _use_pallas(self, pair):
-        """Pick the whole-in-VMEM Pallas kernel when it applies.
+        """Use the Pallas kernels when they apply.
 
         Conditions: TPU backend, float32 planes, reference-like "gs" order,
-        Q small enough for the aligned halo layout, and the plane fits VMEM.
+        Q <= 9. Kernel variant is picked per call: sublane-packed resident
+        (fits VMEM), else time-tiled (any T); online falls back from packed
+        to single-utterance resident.
         """
         if self.backend == "xla":
             return False
