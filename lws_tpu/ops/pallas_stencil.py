@@ -39,12 +39,13 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-def pallas_supported(T: int, F: int, Q: int, L: int, vmem_budget: int = 100 * 2 ** 20) -> bool:
-    """Whole-plane residency check: scratch + blocks must fit in VMEM."""
+def pallas_supported(T: int, F: int, Q: int, L: int, vmem_budget: int = 14 * 2 ** 20) -> bool:
+    """Whole-plane residency check against the real ~16 MiB VMEM budget:
+    pipelined in/out blocks (x2 buffering) + scratch planes + weights."""
     fp = _cdiv(F + 2 * L, 128) * 128
     tp = T + 2 * (Q - 1)
     scratch = 2 * tp * fp * 4
-    blocks = 5 * T * _cdiv(F, 128) * 128 * 4  # sr/si/amp in + sr/si out (x2 buffering)
+    blocks = 5 * T * _cdiv(F, 128) * 128 * 4  # sr/si/amp in + sr/si out
     weights = 2 * (2 * Q - 1) * (2 * L + 1) * fp * 4
     return scratch + 2 * blocks + weights < vmem_budget
 
@@ -61,7 +62,6 @@ def _kernel(thr_ref, mean_ref, sr_ref, si_ref, amp_ref, wr_ref, wi_ref,
     TOP = 8
     n_blocks = -(-T // block)
     win = block + 2 * TOP  # aligned read window rows
-    off0 = TOP - (Q - 1)  # window-local row of the first tap frame
 
     # ---- initialise scratch: zero pads, interior, frozen edge halos ----
     xr[:TOP, :] = jnp.zeros((TOP, F), xr.dtype)

@@ -1,4 +1,4 @@
-"""ctypes binding for the native C++ oracle (native/lws_oracle.cpp).
+"""ctypes binding for the native C++ oracle (lws_tpu/native/lws_oracle.cpp).
 
 The oracle is the trusted scalar implementation of the LWS semantics
 (Gauss-Seidel raster order, double precision) that the fast TPU kernels are
@@ -15,7 +15,7 @@ import numpy as np
 
 __all__ = ["available", "oracle_sweeps", "oracle_online"]
 
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
 _SRC = os.path.join(_NATIVE_DIR, "lws_oracle.cpp")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "build", "liblws_oracle.so")
 
@@ -61,13 +61,16 @@ def _dp(a):
     return a.ctypes.data_as(_D)
 
 
+def _prep_w(W):
+    W = np.asarray(W, dtype=np.complex128)
+    return np.ascontiguousarray(W.real), np.ascontiguousarray(W.imag)
+
+
 def _prep(S, W):
     S = np.asarray(S, dtype=np.complex128)
     sr = np.ascontiguousarray(S.real)
     si = np.ascontiguousarray(S.imag)
-    W = np.asarray(W, dtype=np.complex128)
-    wr = np.ascontiguousarray(W.real)
-    wi = np.ascontiguousarray(W.imag)
+    wr, wi = _prep_w(W)
     return sr, si, wr, wi
 
 
@@ -89,8 +92,8 @@ def oracle_online(S, W, W_ai, W_af, thresholds, LA):
     """Online (TF-RTISI-LA) schedule."""
     lib = _get_lib()
     sr, si, wr, wi = _prep(S, W)
-    _, _, wr_ai, wi_ai = _prep(S, W_ai)
-    _, _, wr_af, wi_af = _prep(S, W_af)
+    wr_ai, wi_ai = _prep_w(W_ai)
+    wr_af, wi_af = _prep_w(W_af)
     T, F = sr.shape
     Qprime, Q, Lp1 = W.shape
     thr = np.ascontiguousarray(np.asarray(thresholds, dtype=np.float64))

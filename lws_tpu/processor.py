@@ -184,12 +184,6 @@ class LWS:
         self._online_pallas = jax.jit(functools.partial(
             pallas_rtisi_la, st_la=self._st_la, st_ai=self._st_nofuture,
             st_af=self._st_af))
-        self._batch_pallas = jax.jit(functools.partial(
-            pallas_lws_sweeps, st=self._st_batch, block=self.pallas_block,
-            micro=self.pallas_micro, inner_passes=self.inner_passes))
-        self._nofuture_pallas = jax.jit(functools.partial(
-            pallas_lws_sweeps, st=self._st_nofuture, block=self.pallas_block,
-            micro=self.pallas_micro))
         self._batch_packed = jax.jit(functools.partial(
             packed_lws_sweeps, st=self._st_batch, micro=self.pallas_micro,
             pack=self.pallas_pack, inner_passes=self.inner_passes))
@@ -216,7 +210,6 @@ class LWS:
         """
         if self.backend == "xla":
             return False
-        T, F = pair[0].shape[-2], pair[0].shape[-1]
         ok = (jax.default_backend() == "tpu"
               and self.rdtype == jnp.float32
               and self.order == "gs"
@@ -230,14 +223,16 @@ class LWS:
         return packed_supported(T, F, self._Qi, self.L, self.pallas_pack)
 
     def _xla_fallback(self, fn, sr, si, thresholds, st=None):
-        """On TPU, the frame-sequential XLA scan compiles pathologically for
-        long spectrograms; fall back to Jacobi sweeps with a warning (shard
-        along time via batch_lws(mesh=...) for reference-order long-form)."""
-        if jax.default_backend() == "tpu" and self.order == "gs":
+        """On TPU, the frame-sequential XLA scan compiles pathologically; when
+        the Pallas kernels do not apply (e.g. Q > 9) and the user did not
+        explicitly ask for the XLA backend, fall back to Jacobi sweeps with a
+        warning. An explicit backend="xla" is always honoured."""
+        if (jax.default_backend() == "tpu" and self.order == "gs"
+                and self.backend != "xla"):
             warnings.warn(
-                "lws_tpu: spectrogram too large for the VMEM-resident kernels; "
-                "using Jacobi-order sweeps on TPU (pass mesh=... for time-sharded "
-                "Gauss-Seidel, or backend='xla' off-TPU for the exact order)")
+                "lws_tpu: the Pallas kernels do not support this configuration; "
+                "using Jacobi-order sweeps on TPU (pass backend='xla' to force "
+                "the frame-sequential scan, or run off-TPU for the exact order)")
             jfn = jax.jit(functools.partial(lws_sweeps, st=st, order="jacobi"))
             return jfn(sr, si, thresholds=thresholds)
         return fn(sr, si, thresholds=thresholds)

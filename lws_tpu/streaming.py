@@ -65,7 +65,6 @@ class StreamingLWS:
     # ------------------------------------------------------------------
     def reset(self):
         proc = self.proc
-        Fp = self.F + 2 * self.L
         self._win_r = None  # allocated lazily on the first frame
         self._win_i = None
         self._amp_w = None
@@ -86,11 +85,14 @@ class StreamingLWS:
         st_la = proc._st_la
         iters = self.iters
         thr_sched = self.thresholds
-        rows = K + (Q - 1)  # window rows + right dummy pad for patch slicing
 
-        def step(win_r, win_i, amp_w, frame_r, frame_i, frame_amp, mean_amp, m_abs):
+        def step(win_r, win_i, amp_w, frame_r, frame_i, frame_amp, mean_amp,
+                 m_abs, live):
             """Advance by one frame. Window rows 0..K-1 hold frames
-            (newest at K-1); rows K.. are never-read dummy padding."""
+            (newest at K-1); rows K.. are never-read dummy padding. `live`
+            False = drain step: the pipeline shifts and commits but no update
+            runs (offline semantics stop at the last real frame)."""
+            big = jnp.asarray(3.4e38, amp_w.dtype)
             # shift in the new frame (freq-extended)
             er, ei = freq_extend(frame_r[None, :], frame_i[None, :], L)
             win_r = jnp.concatenate([win_r[1:K], er, win_r[K:]], axis=0)
@@ -103,12 +105,16 @@ class StreamingLWS:
             m_newest = newest - (Q - 1)
 
             # (1) asym-init from strictly-past frames, threshold 0
+            thr0 = jnp.where(live, jnp.zeros((), amp_w.dtype), big)
             win_r, win_i = update_frame(win_r, win_i, m_newest, amp_w[newest],
-                                        st_ai, jnp.zeros((), amp_w.dtype))
+                                        st_ai, thr0)
 
             def h_body(h, w):
                 wr, wi = w
-                thr = jax.lax.dynamic_index_in_dim(thr_sched, h, keepdims=False) * mean_amp
+                thr = jnp.where(
+                    live,
+                    jax.lax.dynamic_index_in_dim(thr_sched, h, keepdims=False) * mean_amp,
+                    big)
                 for d in range(LA, 0, -1):
                     # frames before the stream start are frozen halo replicas
                     # (offline clamps lframe at 0, lwslib.cpp:1434-1439)
@@ -163,10 +169,13 @@ class StreamingLWS:
         spec = np.fft.rfft(frame * proc.awin, n=proc.fftsize)
         return self.push_frame(spec)
 
-    def push_frame(self, spec) -> np.ndarray:
+    def push_frame(self, spec, drain: bool = False) -> np.ndarray:
         """Feed one spectrogram frame directly (complex with untrusted phase,
         or magnitudes - e.g. streaming vocoder output). Returns committed
-        audio samples (empty while the look-ahead pipeline fills)."""
+        audio samples (empty while the look-ahead pipeline fills).
+
+        drain=True shifts the pipeline without running any updates (used by
+        flush() so the tail frames keep their offline-final values)."""
         proc = self.proc
         spec = np.asarray(spec).astype(np.complex128).reshape(-1)
         fr = jnp.asarray(spec.real, dtype=proc.rdtype)
@@ -185,7 +194,8 @@ class StreamingLWS:
         self._win_r, self._win_i, self._amp_w, (cr, ci) = self._step(
             self._win_r, self._win_i, self._amp_w, fr, fi, amp,
             jnp.asarray(mean, dtype=proc.rdtype),
-            jnp.asarray(self._frames_seen - 1, dtype=jnp.int32))
+            jnp.asarray(self._frames_seen - 1, dtype=jnp.int32),
+            jnp.asarray(not drain))
 
         # frames before the LA pipeline fills are replicas, not real commits
         if self._frames_seen <= self.LA:
@@ -207,18 +217,24 @@ class StreamingLWS:
         return done
 
     def flush(self) -> np.ndarray:
-        """Drain the pipeline: zero-pad so buffered samples form final frames,
-        push LA+1 silent frames through the look-ahead, then emit the OLA
-        tail. (Trailing silent frames have zero magnitude, so they commit as
-        silence and never perturb earlier frames' magnitudes.)"""
+        """Drain the pipeline: zero-pad so every frame containing buffered
+        samples forms and is pushed live, then advance the look-ahead with LA
+        frozen drain steps (no updates - the tail frames keep their
+        offline-final values) and emit the OLA tail."""
         proc = self.proc
         fsize, fshift = proc.fsize, proc.fshift
+        out = []
         pending = len(self._sample_buf)
-        pad = 0
-        if pending > fsize - fshift:  # complete the last partial frame(s)
-            pad += -(pending - (fsize - fshift)) % fshift
-        pad += (self.LA + 1) * fshift + max(0, fsize - (pending + fshift))
-        out = [self.push(np.zeros(pad))]
+        if pending > 0:
+            # frames whose start lies inside the buffered samples
+            n_frames = -(-pending // fshift)
+            pad = max(0, (n_frames - 1) * fshift + fsize - pending)
+            out.append(self.push(np.zeros(pad)))
+        zero = np.zeros(self.F, dtype=np.complex128)
+        for _ in range(self.LA):
+            if self._win_r is not None:
+                out.append(self.push_frame(zero, drain=True))
         out.append(self._ola_tail.copy())
         self._ola_tail = np.zeros(fsize, dtype=np.float64)
-        return np.concatenate(out)
+        self._sample_buf = np.zeros(0, dtype=np.float64)
+        return np.concatenate(out) if out else np.zeros(0)

@@ -51,10 +51,7 @@ def test_oracle_matches_reference_nofuture(golden):
 
 def test_oracle_matches_reference_online(golden):
     """The oracle's RTISI-LA sequencing reproduces TF_RTISI_LA."""
-    if golden.W.shape[0] != int(golden.Q):
-        ref_in = golden.nofuture_i1.astype(np.complex128)
-    else:
-        ref_in = golden.nofuture_i1.astype(np.complex128)
+    ref_in = golden.nofuture_i1.astype(np.complex128)
     out = oracle.oracle_online(ref_in, golden.W, golden.W_ai, golden.W_af,
                                get_thresholds(10, 1, 0.1, 1), LA=3)
     ref = golden.online_i10.astype(np.complex128)

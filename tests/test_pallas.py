@@ -83,7 +83,7 @@ def test_batched_grid(golden_q4):
 
 def test_pallas_supported_budget():
     assert pallas_supported(628, 257, 4, 5)
-    assert pallas_supported(1100, 1025, 4, 5)
+    assert not pallas_supported(1100, 1025, 4, 5)  # ~35 MB > the 16 MiB VMEM
     assert not pallas_supported(200_000, 2049, 4, 5)
 
 

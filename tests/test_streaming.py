@@ -83,3 +83,41 @@ def test_streaming_latency_accounting(golden_q4):
     assert out.size >= 0  # pipeline filling
     stream.reset()
     assert stream._frames_seen == 0
+
+
+def test_flush_commits_all_content_frames(golden_q4):
+    """flush() must commit every frame that contains real samples, with the
+    tail frames keeping their offline-final values (frozen drain)."""
+    g = golden_q4
+    proc = LWS(int(g.fsize), int(g.fshift), L=int(g.L), dtype=jnp.float64,
+               online_iterations=4)
+    x = np.asarray(g.x)
+    xp = _padded_signal(proc, x)
+    S = proc.stft(x)
+    mean_amp = float(np.mean(np.abs(S)))
+    offline = np.asarray(proc.online_lws(np.abs(S).astype(np.complex128)))
+
+    stream = StreamingLWS(proc, iterations=4, mean_amp=mean_amp)
+    for i in range(S.shape[0]):
+        stream.push_frame(np.abs(S[i]))
+    stream.flush()
+    committed = np.stack(stream.committed_frames)
+    assert committed.shape[0] == S.shape[0]  # every frame committed
+    # the drained tail rows equal the offline extraction (no extra updates)
+    np.testing.assert_allclose(committed[-proc.look_ahead:],
+                               offline[-proc.look_ahead:], rtol=1e-3, atol=1e-3)
+
+
+def test_flush_audio_covers_signal(golden_q4):
+    g = golden_q4
+    proc = LWS(int(g.fsize), int(g.fshift), L=int(g.L), dtype=jnp.float64,
+               online_iterations=2)
+    x = np.asarray(g.x)
+    xp = _padded_signal(proc, x)
+    stream = StreamingLWS(proc, iterations=2)
+    y1 = stream.push(xp)
+    y2 = stream.flush()
+    y = np.concatenate([y1, y2])
+    n_frames = (len(xp) - proc.fsize) // proc.fshift + 1
+    # all frames committed -> fshift samples each, plus the OLA tail
+    assert len(y) >= n_frames * proc.fshift
