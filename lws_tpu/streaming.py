@@ -38,9 +38,16 @@ __all__ = ["StreamingLWS"]
 
 
 class StreamingLWS:
-    """Chunked real-time online LWS around an LWS processor's weight set."""
+    """Chunked real-time online LWS around an LWS processor's weight set.
 
-    def __init__(self, proc, iterations=None, thresholds=None, mean_amp=None):
+    `streams > 1` runs that many independent streams in lockstep (batched on
+    device - the vocoder-serving case): push()/push_frame() then take and
+    return arrays with a leading streams dimension.
+    """
+
+    def __init__(self, proc, iterations=None, thresholds=None, mean_amp=None,
+                 streams: int = 1):
+        self.streams = int(streams)
         from .windows import get_thresholds
 
         self.proc = proc
@@ -70,9 +77,12 @@ class StreamingLWS:
         self._amp_w = None
         self._frames_seen = 0
         self._amp_sum = 0.0
-        self._sample_buf = np.zeros(0, dtype=np.float64)
+        self._sample_buf = (np.zeros((self.streams, 0)) if self.streams > 1
+                            else np.zeros(0))
         self._started = False
-        self._ola_tail = np.zeros(proc.fsize, dtype=np.float64)
+        tail_shape = ((self.streams, proc.fsize) if self.streams > 1
+                      else (proc.fsize,))
+        self._ola_tail = np.zeros(tail_shape)
         self._committed = 0
         self.committed_frames: list = []
 
@@ -88,16 +98,19 @@ class StreamingLWS:
 
         def step(win_r, win_i, amp_w, frame_r, frame_i, frame_amp, mean_amp,
                  m_abs, live):
-            """Advance by one frame. Window rows 0..K-1 hold frames
-            (newest at K-1); rows K.. are never-read dummy padding. `live`
-            False = drain step: the pipeline shifts and commits but no update
-            runs (offline semantics stop at the last real frame)."""
+            """Advance by one frame. Window rows 0..K-1 (axis -2) hold frames
+            (newest at K-1); rows K.. are never-read dummy padding. Leading
+            dims are batched streams. `live` False = drain step: the pipeline
+            shifts and commits but no update runs (offline semantics stop at
+            the last real frame)."""
             big = jnp.asarray(3.4e38, amp_w.dtype)
             # shift in the new frame (freq-extended)
-            er, ei = freq_extend(frame_r[None, :], frame_i[None, :], L)
-            win_r = jnp.concatenate([win_r[1:K], er, win_r[K:]], axis=0)
-            win_i = jnp.concatenate([win_i[1:K], ei, win_i[K:]], axis=0)
-            amp_w = jnp.concatenate([amp_w[1:K], frame_amp[None, :], amp_w[K:]], axis=0)
+            er, ei = freq_extend(frame_r[..., None, :], frame_i[..., None, :], L)
+            ax = -2
+            win_r = jnp.concatenate([win_r[..., 1:K, :], er, win_r[..., K:, :]], axis=ax)
+            win_i = jnp.concatenate([win_i[..., 1:K, :], ei, win_i[..., K:, :]], axis=ax)
+            amp_w = jnp.concatenate([amp_w[..., 1:K, :], frame_amp[..., None, :],
+                                     amp_w[..., K:, :]], axis=ax)
 
             newest = K - 1  # window row of the newest frame
             # update_frame takes the "true" index m of an array whose frame m
@@ -106,8 +119,8 @@ class StreamingLWS:
 
             # (1) asym-init from strictly-past frames, threshold 0
             thr0 = jnp.where(live, jnp.zeros((), amp_w.dtype), big)
-            win_r, win_i = update_frame(win_r, win_i, m_newest, amp_w[newest],
-                                        st_ai, thr0)
+            win_r, win_i = update_frame(win_r, win_i, m_newest,
+                                        amp_w[..., newest, :], st_ai, thr0)
 
             def h_body(h, w):
                 wr, wi = w
@@ -121,31 +134,35 @@ class StreamingLWS:
                     wr, wi = jax.lax.cond(
                         m_abs - d >= 0,
                         lambda ww, dd=d: update_frame(ww[0], ww[1], m_newest - dd,
-                                                      amp_w[newest - dd],
+                                                      amp_w[..., newest - dd, :],
                                                       st_la[dd - 1], thr),
                         lambda ww: ww,
                         (wr, wi),
                     )
-                wr, wi = update_frame(wr, wi, m_newest, amp_w[newest], st_af, thr)
+                wr, wi = update_frame(wr, wi, m_newest, amp_w[..., newest, :],
+                                      st_af, thr)
                 return wr, wi
 
             win_r, win_i = jax.lax.fori_loop(0, iters, h_body, (win_r, win_i))
 
             # the frame leaving the look-ahead window is now final
             committed_row = newest - LA
-            return win_r, win_i, amp_w, (win_r[committed_row, L:L + F],
-                                         win_i[committed_row, L:L + F])
+            return win_r, win_i, amp_w, (win_r[..., committed_row, L:L + F],
+                                         win_i[..., committed_row, L:L + F])
 
         return step
 
     # ------------------------------------------------------------------
     def _init_window(self, er0, ei0, amp0):
         """Fill the window with replicas of the first frame (extspec edge
-        semantics, lwslib.cpp:21-25) - left context rows = original frame 0."""
+        semantics, lwslib.cpp:21-25) - left context rows = original frame 0.
+        Shapes: er0/amp0 are (F',) single-stream or (S, F') batched; windows
+        get the row axis at -2 so update_frame's (..., rows, F') layout holds."""
         rows = self.K + (self.Q - 1)
-        self._win_r = jnp.tile(er0[None, :], (rows, 1))
-        self._win_i = jnp.tile(ei0[None, :], (rows, 1))
-        self._amp_w = jnp.tile(amp0[None, :], (rows, 1))
+        reps = (rows, 1) if er0.ndim == 1 else (1, rows, 1)
+        self._win_r = jnp.tile(er0[..., None, :], reps)
+        self._win_i = jnp.tile(ei0[..., None, :], reps)
+        self._amp_w = jnp.tile(amp0[..., None, :], reps)
 
     def push(self, x) -> np.ndarray:
         """Feed audio samples; returns any newly committed audio samples.
@@ -156,17 +173,22 @@ class StreamingLWS:
         """
         proc = self.proc
         fsize, fshift = proc.fsize, proc.fshift
-        x = np.asarray(x, dtype=np.float64).reshape(-1)
-        self._sample_buf = np.concatenate([self._sample_buf, x])
+        x = np.asarray(x, dtype=np.float64)
+        if self.streams > 1:
+            x = x.reshape(self.streams, -1)
+        else:
+            x = x.reshape(-1)
+        self._sample_buf = np.concatenate([self._sample_buf, x], axis=-1)
         out = []
-        while len(self._sample_buf) >= fsize:
-            out.append(self._process_frame(self._sample_buf[:fsize]))
-            self._sample_buf = self._sample_buf[fshift:]
-        return np.concatenate(out) if out else np.zeros(0)
+        while self._sample_buf.shape[-1] >= fsize:
+            out.append(self._process_frame(self._sample_buf[..., :fsize]))
+            self._sample_buf = self._sample_buf[..., fshift:]
+        return (np.concatenate(out, axis=-1) if out
+                else np.zeros(self._sample_buf.shape[:-1] + (0,)))
 
     def _process_frame(self, frame) -> np.ndarray:
         proc = self.proc
-        spec = np.fft.rfft(frame * proc.awin, n=proc.fftsize)
+        spec = np.fft.rfft(frame * proc.awin, n=proc.fftsize, axis=-1)
         return self.push_frame(spec)
 
     def push_frame(self, spec, drain: bool = False) -> np.ndarray:
@@ -177,7 +199,11 @@ class StreamingLWS:
         drain=True shifts the pipeline without running any updates (used by
         flush() so the tail frames keep their offline-final values)."""
         proc = self.proc
-        spec = np.asarray(spec).astype(np.complex128).reshape(-1)
+        spec = np.asarray(spec).astype(np.complex128)
+        if self.streams > 1:
+            spec = spec.reshape(self.streams, -1)
+        else:
+            spec = spec.reshape(-1)
         fr = jnp.asarray(spec.real, dtype=proc.rdtype)
         fi = jnp.asarray(spec.imag, dtype=proc.rdtype)
         amp = jnp.asarray(np.abs(spec), dtype=proc.rdtype)
@@ -187,9 +213,11 @@ class StreamingLWS:
             self._init_window(er[0], ei[0], amp)
 
         self._frames_seen += 1
-        self._amp_sum += float(np.mean(np.abs(spec)))
+        self._amp_sum = self._amp_sum + np.mean(np.abs(spec), axis=-1)
         mean = (self.mean_amp if self.mean_amp is not None
                 else self._amp_sum / self._frames_seen)
+        if self.streams > 1:
+            mean = np.reshape(mean, (self.streams, 1))
 
         self._win_r, self._win_i, self._amp_w, (cr, ci) = self._step(
             self._win_r, self._win_i, self._amp_w, fr, fi, amp,
@@ -199,7 +227,8 @@ class StreamingLWS:
 
         # frames before the LA pipeline fills are replicas, not real commits
         if self._frames_seen <= self.LA:
-            return np.zeros(0)
+            shape = (self.streams, 0) if self.streams > 1 else (0,)
+            return np.zeros(shape)
         spec = np.asarray(cr) + 1j * np.asarray(ci)
         self.committed_frames.append(spec)
         return self._emit(spec)
@@ -208,11 +237,12 @@ class StreamingLWS:
         """Overlap-add one committed frame; emit fshift finished samples."""
         proc = self.proc
         fsize, fshift = proc.fsize, proc.fshift
-        iframe = np.fft.irfft(committed_spec, n=proc.fftsize)[:fsize] * proc.swin[:fsize]
-        self._ola_tail += iframe
-        done, self._ola_tail = (self._ola_tail[:fshift].copy(),
-                                np.concatenate([self._ola_tail[fshift:],
-                                                np.zeros(fshift)]))
+        iframe = np.fft.irfft(committed_spec, n=proc.fftsize)[..., :fsize] * proc.swin[:fsize]
+        self._ola_tail = self._ola_tail + iframe
+        done = self._ola_tail[..., :fshift].copy()
+        self._ola_tail = np.concatenate(
+            [self._ola_tail[..., fshift:],
+             np.zeros(self._ola_tail.shape[:-1] + (fshift,))], axis=-1)
         self._committed += 1
         return done
 
@@ -224,17 +254,21 @@ class StreamingLWS:
         proc = self.proc
         fsize, fshift = proc.fsize, proc.fshift
         out = []
-        pending = len(self._sample_buf)
+        pending = self._sample_buf.shape[-1]
         if pending > 0:
             # frames whose start lies inside the buffered samples
             n_frames = -(-pending // fshift)
             pad = max(0, (n_frames - 1) * fshift + fsize - pending)
-            out.append(self.push(np.zeros(pad)))
-        zero = np.zeros(self.F, dtype=np.complex128)
+            pad_shape = (self.streams, pad) if self.streams > 1 else (pad,)
+            out.append(self.push(np.zeros(pad_shape)))
+        zero_shape = (self.streams, self.F) if self.streams > 1 else (self.F,)
+        zero = np.zeros(zero_shape, dtype=np.complex128)
         for _ in range(self.LA):
             if self._win_r is not None:
                 out.append(self.push_frame(zero, drain=True))
         out.append(self._ola_tail.copy())
-        self._ola_tail = np.zeros(fsize, dtype=np.float64)
-        self._sample_buf = np.zeros(0, dtype=np.float64)
-        return np.concatenate(out) if out else np.zeros(0)
+        tail_shape = ((self.streams, fsize) if self.streams > 1 else (fsize,))
+        self._ola_tail = np.zeros(tail_shape)
+        self._sample_buf = (np.zeros((self.streams, 0)) if self.streams > 1
+                            else np.zeros(0))
+        return np.concatenate(out, axis=-1)

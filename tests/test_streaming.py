@@ -121,3 +121,21 @@ def test_flush_audio_covers_signal(golden_q4):
     n_frames = (len(xp) - proc.fsize) // proc.fshift + 1
     # all frames committed -> fshift samples each, plus the OLA tail
     assert len(y) >= n_frames * proc.fshift
+
+
+def test_batched_streams_match_single(golden_q4):
+    """streams=S lockstep == S independent single streams."""
+    g = golden_q4
+    proc = LWS(int(g.fsize), int(g.fshift), L=int(g.L), dtype=jnp.float64,
+               online_iterations=2)
+    x = np.asarray(g.x)[:4000]
+    xs = np.stack([x, 0.5 * x])
+    sb = StreamingLWS(proc, iterations=2, streams=2)
+    yb = np.concatenate([sb.push(xs), sb.flush()], axis=-1)
+    singles = []
+    for i in range(2):
+        s1 = StreamingLWS(proc, iterations=2)
+        singles.append(np.concatenate([s1.push(xs[i]), s1.flush()]))
+    ys = np.stack(singles)
+    assert yb.shape == ys.shape
+    np.testing.assert_allclose(yb, ys, rtol=1e-6, atol=1e-8)
