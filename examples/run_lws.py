@@ -12,32 +12,12 @@ ships no test file either, run_lws.m:58).
 """
 import sys
 import time
-import wave
 
 import numpy as np
 
 sys.path.insert(0, ".")
 import lws_tpu
-
-
-def read_wav(path):
-    with wave.open(path, "rb") as f:
-        sr = f.getframerate()
-        n = f.getnframes()
-        data = np.frombuffer(f.readframes(n), dtype=np.int16)
-        if f.getnchannels() > 1:
-            data = data.reshape(-1, f.getnchannels()).mean(axis=1)
-        return data.astype(np.float64) / 32768.0, sr
-
-
-def write_wav(path, x, sr):
-    x = np.asarray(x, dtype=np.float64)
-    x = x / max(1e-9, np.abs(x).max()) * 0.9
-    with wave.open(path, "wb") as f:
-        f.setnchannels(1)
-        f.setsampwidth(2)
-        f.setframerate(sr)
-        f.writeframes((x * 32767).astype(np.int16).tobytes())
+from lws_tpu.io import read_wav, write_wav
 
 
 def main():

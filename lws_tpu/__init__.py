@@ -43,6 +43,7 @@ from .core.batch import lws_sweeps
 from .core.online import rtisi_la
 from .core.stencil import make_stencil, merge, split
 from .mel import linear_to_mel, mel_filterbank, mel_to_linear, mel_vocoder_pipeline
+from .io import read_wav, write_wav
 from .streaming import StreamingLWS
 
 __version__ = "0.1.0"
@@ -53,7 +54,7 @@ __all__ = [
     "stft", "istft", "get_consistency", "stft_ri", "istft_ri", "get_consistency_ri",
     "batch_lws", "nofuture_lws", "online_lws", "extspec", "split", "merge",
     "StreamingLWS", "mel_filterbank", "linear_to_mel", "mel_to_linear",
-    "mel_vocoder_pipeline",
+    "mel_vocoder_pipeline", "read_wav", "write_wav",
 ]
 
 

@@ -124,3 +124,20 @@ def test_custom_window_matches_oracle():
     out_j = np.asarray(p.nofuture_lws(A, thresholds=thr))
     out_c = oracle.oracle_sweeps(A, p.W_ai, thr, visibility=-1)
     np.testing.assert_allclose(out_j, out_c, rtol=1e-6, atol=1e-8)
+
+
+def test_fuzz_random_geometries_vs_oracle():
+    """Property fuzz: random window/shift/L geometries, JAX no-future must
+    equal the oracle exactly and batch must match its quality."""
+    rng = np.random.default_rng(42)
+    cases = [(256, 64, 2), (320, 80, 5), (512, 256, 3), (448, 112, 4),
+             (384, 128, 1), (512, 160, 3)]  # incl. fractional 512/160
+    for fsize, fshift, L in cases:
+        p = LWS(fsize, fshift, L=L, dtype=jnp.float64)
+        x = rng.standard_normal(3500)
+        A = np.abs(p.stft(x)).astype(np.complex128)
+        thr = get_thresholds(1, 1, 0.1, 1)
+        out_j = np.asarray(p.nofuture_lws(A, thresholds=thr))
+        out_c = oracle.oracle_sweeps(A, p.W_ai, thr, visibility=-1)
+        np.testing.assert_allclose(out_j, out_c, rtol=1e-6, atol=1e-8,
+                                   err_msg=f"{fsize}/{fshift}/L{L}")

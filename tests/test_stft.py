@@ -63,3 +63,18 @@ def test_stft_nonperfectrec_layout():
     S = stft(x, 256, 128, np.hanning(256), perfectrec=False)
     # padded to  (len - fsize) % fshift == 0 -> M = (1024-256)/128+1 = 7
     assert S.shape == (7, 129)
+
+
+def test_wav_io_roundtrip(tmp_path):
+    from lws_tpu.io import read_wav, write_wav
+    sr = 16000
+    x = 0.5 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr)
+    p = tmp_path / "t.wav"
+    write_wav(p, x, sr, normalize=False)
+    y, sr2 = read_wav(p)
+    assert sr2 == sr
+    np.testing.assert_allclose(y, x, atol=1e-4)
+    # multi-channel round trip, mono mixdown
+    write_wav(p, np.stack([x, -x]), sr, normalize=False)
+    y2, _ = read_wav(p)
+    assert np.abs(y2).max() < 1e-4  # (x + -x)/2
