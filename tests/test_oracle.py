@@ -141,3 +141,21 @@ def test_fuzz_random_geometries_vs_oracle():
         out_c = oracle.oracle_sweeps(A, p.W_ai, thr, visibility=-1)
         np.testing.assert_allclose(out_j, out_c, rtol=1e-6, atol=1e-8,
                                    err_msg=f"{fsize}/{fshift}/L{L}")
+
+
+def test_use_simplifications_false_matches_oracle():
+    """use_simplifications=False builds per-bin (Qprime=fsize) weight rows
+    even for integer Q (python/lws.pyx:166-169); full-path check vs oracle."""
+    p = LWS(256, 64, L=3, use_simplifications=False, dtype=jnp.float64)
+    assert p.W.shape[0] == 256  # Qprime == fsize
+    rng = np.random.default_rng(21)
+    x = rng.standard_normal(3000)
+    A = np.abs(p.stft(x)).astype(np.complex128)
+    thr = get_thresholds(1, 1, 0.1, 1)
+    out_j = np.asarray(p.nofuture_lws(A, thresholds=thr))
+    out_c = oracle.oracle_sweeps(A, p.W_ai, thr, visibility=-1)
+    np.testing.assert_allclose(out_j, out_c, rtol=1e-6, atol=1e-8)
+    # summarized and full weights give numerically equivalent updates
+    ps = LWS(256, 64, L=3, dtype=jnp.float64)
+    out_s = np.asarray(ps.nofuture_lws(A, thresholds=thr))
+    np.testing.assert_allclose(out_j, out_s, rtol=1e-8, atol=1e-9)
