@@ -505,6 +505,53 @@ def _tiled_sweeps_kernel(thr_ref, mean_ref, s_hbm_r, s_hbm_i, amp_hbm,
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (micro, 1, 1), 0)
     has_centre = bool(nz[Q1].any())
 
+    def window_tile(thr, t0):
+        """micro=1 fast path within a tile: sliding register window, one
+        row write-back + one row shift-in per frame (see _sweeps_kernel)."""
+        cdt = jnp.float32
+
+        def halo1(j):
+            rr = xr[pl.ds(j, 1)][..., :F].astype(cdt)
+            ri = xi[pl.ds(j, 1)][..., :F].astype(cdt)
+            return _freq_halo(rr, ri, F, L)
+
+        rows0 = [halo1(j) for j in range(2 * Q1 + 1)]
+        win_r0 = jnp.concatenate([r for r, _i in rows0], axis=0)
+        win_i0 = jnp.concatenate([_i for r, _i in rows0], axis=0)
+
+        def frame_body(mm, carry):
+            win_r, win_i = carry
+            tr = jnp.zeros((1, P, F), dtype=win_r.dtype)
+            ti = jnp.zeros_like(tr)
+            for dr in range(2 * Q - 1):
+                for dk in range(2 * L + 1):
+                    if not nz[dr, dk]:
+                        continue
+                    wr = wr_ref[dr, dk, :]
+                    wi = wi_ref[dr, dk, :]
+                    tr += wr * win_r[dr:dr + 1, :, dk:dk + F] - wi * win_i[dr:dr + 1, :, dk:dk + F]
+                    ti += wr * win_i[dr:dr + 1, :, dk:dk + F] + wi * win_r[dr:dr + 1, :, dk:dk + F]
+            amp_m = am[pl.ds(mm, 1)][..., :F].astype(cdt)
+            a = jnp.sqrt(tr * tr + ti * ti)
+            scale = amp_m / jnp.where(a > 0, a, 1)
+            cond = (amp_m > thr) & (a > 0) & ((t0 + mm) < T)
+            old_r = win_r[Q1:Q1 + 1, :, L:L + F]
+            old_i = win_i[Q1:Q1 + 1, :, L:L + F]
+            new_r = jnp.where(cond, tr * scale, old_r)
+            new_i = jnp.where(cond, ti * scale, old_i)
+            xr[pl.ds(Q1 + mm, 1), :, :F] = new_r.astype(xr.dtype)
+            xi[pl.ds(Q1 + mm, 1), :, :F] = new_i.astype(xi.dtype)
+            er, ei = _freq_halo(new_r, new_i, F, L)
+            nxt = jnp.minimum(mm + 2 * Q1 + 1, TT + 2 * Q1 - 1)
+            nr = xr[pl.ds(nxt, 1)][..., :F].astype(cdt)
+            ni = xi[pl.ds(nxt, 1)][..., :F].astype(cdt)
+            fr, fi = _freq_halo(nr, ni, F, L)
+            win_r = jnp.concatenate([win_r[1:Q1], er, win_r[Q1 + 1:], fr], axis=0)
+            win_i = jnp.concatenate([win_i[1:Q1], ei, win_i[Q1 + 1:], fi], axis=0)
+            return win_r, win_i
+
+        jax.lax.fori_loop(0, TT, frame_body, (win_r0, win_i0), unroll=False)
+
     def tile_sweep(it, k, _):
         thr = thr_ref[it] * mean_amp
         t0 = k * TT  # first frame of the tile
@@ -562,7 +609,10 @@ def _tiled_sweeps_kernel(thr_ref, mean_ref, s_hbm_r, s_hbm_i, amp_hbm,
             xi[pl.ds(Q1 + start, micro), :, :F] = new_i
             return __
 
-        jax.lax.fori_loop(0, groups_per_tile, group_update, 0, unroll=False)
+        if micro == 1:
+            window_tile(thr, t0)
+        else:
+            jax.lax.fori_loop(0, groups_per_tile, group_update, 0, unroll=False)
         _dma(xr.at[Q1:Q1 + TT], osr_hbm.at[g, pl.ds(Q1 + t0, TT)], sem)
         _dma(xi.at[Q1:Q1 + TT], osi_hbm.at[g, pl.ds(Q1 + t0, TT)], sem)
         return _
