@@ -652,10 +652,11 @@ def tiled_lws_sweeps(
     micro = max(1, int(micro))
     P = int(pack)
     if tile is None:
-        # 3 scratch planes (2 state + amp) within ~11 MB of VMEM
+        # 3 scratch planes (2 state + amp) within ~11 MB of VMEM; beyond
+        # ~128 rows locality stops helping (measured), so cap there
         fpad_ = _cdiv(F, 128) * 128
         tile = max(micro, (11 * 2 ** 20) // (3 * P * fpad_ * 4) - 2 * (Q - 1))
-        tile = min(tile, 512)
+        tile = min(tile, 128)
     TT = max(micro, (int(tile) // micro) * micro)
 
     amp = jnp.sqrt(sr * sr + si * si)

@@ -87,7 +87,7 @@ class LWS:
         backend="auto",
         pallas_block=16,
         pallas_micro=1,
-        pallas_pack=4,
+        pallas_pack=8,
     ):
         if isinstance(awin_or_fsize, (int, np.integer)):
             awin = default_window(int(awin_or_fsize), fshift, symmetric=symmetric_win)
@@ -184,15 +184,11 @@ class LWS:
         self._online_pallas = jax.jit(functools.partial(
             pallas_rtisi_la, st_la=self._st_la, st_ai=self._st_nofuture,
             st_af=self._st_af))
-        self._batch_packed = jax.jit(functools.partial(
-            packed_lws_sweeps, st=self._st_batch, micro=self.pallas_micro,
-            pack=self.pallas_pack, inner_passes=self.inner_passes))
-        self._nofuture_packed = jax.jit(functools.partial(
-            packed_lws_sweeps, st=self._st_nofuture, micro=self.pallas_micro,
-            pack=self.pallas_pack))
+        # online state must stay fully VMEM-resident -> capped at pack=4
+        self._online_pack = min(4, self.pallas_pack)
         self._online_packed = jax.jit(functools.partial(
             packed_rtisi_la, st_la=self._st_la, st_ai=self._st_nofuture,
-            st_af=self._st_af, pack=self.pallas_pack))
+            st_af=self._st_af, pack=self._online_pack))
         self._batch_tiled = jax.jit(functools.partial(
             tiled_lws_sweeps, st=self._st_batch, micro=self.pallas_micro,
             pack=self.pallas_pack, inner_passes=self.inner_passes))
@@ -219,8 +215,9 @@ class LWS:
         return ok
 
     def _packed_ok(self, pair):
+        """Whether the fully-VMEM-resident online kernel fits (pack capped at 4)."""
         T, F = pair[0].shape[-2], pair[0].shape[-1]
-        return packed_supported(T, F, self._Qi, self.L, self.pallas_pack)
+        return packed_supported(T, F, self._Qi, self.L, self._online_pack)
 
     def _xla_fallback(self, fn, sr, si, thresholds, st=None):
         """On TPU, the frame-sequential XLA scan compiles pathologically; when
@@ -239,15 +236,13 @@ class LWS:
 
     def _batch_fn(self, sr, si, thresholds):
         if self._use_pallas((sr, si)):
-            if self._packed_ok((sr, si)):
-                return self._run_flat(self._batch_packed, sr, si, thresholds)
+            # the time-tiled kernel streams state through VMEM, so the wide
+            # pack fits regardless of T (a single tile when T is small)
             return self._run_flat(self._batch_tiled, sr, si, thresholds)
         return self._xla_fallback(self._batch_xla, sr, si, thresholds, st=self._st_batch)
 
     def _nofuture_fn(self, sr, si, thresholds):
         if self._use_pallas((sr, si)):
-            if self._packed_ok((sr, si)):
-                return self._run_flat(self._nofuture_packed, sr, si, thresholds)
             return self._run_flat(self._nofuture_tiled, sr, si, thresholds)
         return self._nofuture_xla(sr, si, thresholds=thresholds)
 
