@@ -1,17 +1,27 @@
-"""Headline benchmark: batch-LWS phase recovery throughput on one chip.
+"""Benchmark harness: all five BASELINE.json configs on one chip.
 
-Workload = BASELINE.json config 1 scaled to a throughput batch: 32 mono 16 kHz
-utterances of 5 s, 512-pt FFT, 128 hop (Q=4), L=5, sqrt-Hann default window,
-100 thresholded batch-LWS iterations (alpha=100, beta=0.1, gamma=1) - the
-reference's canonical configuration (matlab/run_lws.m:48-55).
+Configs (BASELINE.json "configs", reference canonical settings from
+matlab/run_lws.m:48-55 / python/lws.pyx:379-383):
+  1 batch     batch LWS, 32x5s 16 kHz utterances, 512/128 (Q=4), 100 iters
+  2 pipeline  full 3-stage music pipeline (nofuture 1 + online 10 + batch
+              100) on a 32-utterance batch at 1024-pt FFT
+  3 online    online-only RTISI-LA, look-ahead 3, 10 iters, 32 streams
+  4 vocoder   TTS post-processing: 1024 mel spectrograms (80-band mel ->
+              pinv -> linear) -> batch LWS at 2048-pt FFT
+  5 longform  48 kHz >10 min single stream, 4096-pt FFT, batch LWS
+              (time-tiled kernel; the multi-host sharded variant is
+              validated by __graft_entry__.dryrun_multichip)
 
-Prints ONE JSON line on stdout:
-  {"metric": "audio_seconds_per_second_per_chip", "value": N,
-   "unit": "audio-s/s/chip", "vs_baseline": N/100}
-vs_baseline is against the BASELINE.md north-star target of 100x real-time
-per chip (the reference publishes no numbers of its own). Details on stderr.
+Prints ONE JSON line on stdout: the headline metric (config 1, the
+BASELINE.md 100x-real-time north-star) plus a "configs" object holding the
+audio-s/s/chip of every config. Details on stderr. BENCHMARKS.md is
+regenerated with the full table.
+
+Usage: python bench.py [--config N] [--no-write]
 """
+import argparse
 import json
+import os
 import sys
 import time
 
@@ -32,49 +42,190 @@ def make_batch(B, n, sr_hz, rng):
     return np.stack(xs).astype(np.float32)
 
 
-def main():
-    import jax
+def _timed(fn, *args, n_rep=3, **kw):
+    """Compile+warm once, then median of n_rep steady-state walls."""
+    out = fn(*args, **kw)
+    jax_block(out)
+    walls = []
+    for _ in range(n_rep):
+        t0 = time.time()
+        out = fn(*args, **kw)
+        jax_block(out)
+        walls.append(time.time() - t0)
+    return out, float(np.median(walls))
+
+
+def jax_block(out):
+    leaf = out[0] if isinstance(out, (tuple, list)) else out
+    leaf.block_until_ready()
+
+
+def bench_batch(on_tpu):
     import jax.numpy as jnp
-
     from lws_tpu import LWS, get_thresholds
-
-    on_tpu = jax.default_backend() == "tpu"
-    B, secs, sr_hz = (32, 5.0, 16000) if on_tpu else (2, 5.0, 16000)
-    iters = 100 if on_tpu else 10
-
+    B, secs, iters = (32, 5.0, 100) if on_tpu else (2, 5.0, 10)
     rng = np.random.default_rng(0)
-    x = make_batch(B, int(secs * sr_hz), sr_hz, rng)
-
-    proc = LWS(512, 128)  # defaults: Pallas whole-in-VMEM kernel on TPU
+    x = make_batch(B, int(secs * 16000), 16000, rng)
+    proc = LWS(512, 128)
     sr, si = proc.stft_ri(x)
     amp = jnp.sqrt(sr * sr + si * si)
     pair = (amp, jnp.zeros_like(amp))
     thr = jnp.asarray(get_thresholds(iters, 100, 0.1, 1), dtype=proc.rdtype)
+    out, wall = _timed(proc._batch_fn, *pair, thresholds=thr)
+    c0 = float(np.asarray(proc.get_consistency(pair)).mean())
+    c1 = float(np.asarray(proc.get_consistency(out)).mean())
+    return dict(name="batch", audio_s=B * secs, wall=wall, iters=iters,
+                shape=tuple(amp.shape), cons=(c0, c1))
 
-    out = proc._batch_fn(*pair, thresholds=thr)  # compile + warm
-    out[0].block_until_ready()
 
-    n_rep = 3
-    t0 = time.time()
-    for _ in range(n_rep):
-        out = proc._batch_fn(*pair, thresholds=thr)
-    out[0].block_until_ready()
-    wall = (time.time() - t0) / n_rep
+def bench_pipeline(on_tpu):
+    import jax.numpy as jnp
+    from lws_tpu import LWS
+    B, secs = (32, 5.0) if on_tpu else (2, 2.0)
+    rng = np.random.default_rng(1)
+    x = make_batch(B, int(secs * 16000), 16000, rng)
+    proc = LWS(1024, 256, mode="music") if on_tpu else (
+        LWS(1024, 256, mode="music", batch_iterations=10, online_iterations=3))
+    sr, si = proc.stft_ri(x)
+    amp = jnp.sqrt(sr * sr + si * si)
+    pair = (amp, jnp.zeros_like(amp))
 
-    value = B * secs / wall
-    cons_in = float(np.asarray(proc.get_consistency(pair)).mean())
-    cons_out = float(np.asarray(proc.get_consistency(out)).mean())
-    print(
-        f"[bench] backend={jax.default_backend()} B={B} secs={secs} iters={iters} "
-        f"T,F={tuple(amp.shape[-2:])} wall={wall * 1000:.0f}ms "
-        f"consistency {cons_in:.2f} -> {cons_out:.2f} dB",
-        file=sys.stderr,
-    )
+    def run(p):
+        return proc.run_lws(p)
+
+    out, wall = _timed(run, pair)
+    c0 = float(np.asarray(proc.get_consistency(pair)).mean())
+    c1 = float(np.asarray(proc.get_consistency(out)).mean())
+    return dict(name="pipeline", audio_s=B * secs, wall=wall,
+                iters="1+10+100", shape=tuple(amp.shape), cons=(c0, c1))
+
+
+def bench_online(on_tpu):
+    import jax.numpy as jnp
+    from lws_tpu import LWS, get_thresholds
+    B, secs, iters = (32, 5.0, 10) if on_tpu else (2, 2.0, 3)
+    rng = np.random.default_rng(2)
+    x = make_batch(B, int(secs * 16000), 16000, rng)
+    proc = LWS(512, 128, look_ahead=3)
+    sr, si = proc.stft_ri(x)
+    amp = jnp.sqrt(sr * sr + si * si)
+    pair = (amp, jnp.zeros_like(amp))
+    thr = jnp.asarray(get_thresholds(iters, 1, 0.1, 1), dtype=proc.rdtype)
+    out, wall = _timed(proc._online_fn, *pair, thresholds=thr)
+    c0 = float(np.asarray(proc.get_consistency(pair)).mean())
+    c1 = float(np.asarray(proc.get_consistency(out)).mean())
+    return dict(name="online", audio_s=B * secs, wall=wall, iters=iters,
+                shape=tuple(amp.shape), cons=(c0, c1))
+
+
+def bench_vocoder(on_tpu):
+    import jax.numpy as jnp
+    from lws_tpu import LWS, get_thresholds
+    from lws_tpu.mel import mel_filterbank, linear_to_mel, mel_to_linear
+    B, secs, iters = (1024, 2.5, 100) if on_tpu else (4, 1.0, 5)
+    sr_hz, fsize, fshift = 22050, 2048, 256
+    rng = np.random.default_rng(3)
+    uniq = make_batch(16 if on_tpu else B, int(secs * sr_hz), sr_hz, rng)
+    proc = LWS(fsize, fshift)
+    sr, si = proc.stft_ri(uniq)
+    mag = jnp.sqrt(sr * sr + si * si)
+    fb = mel_filterbank(80, fsize, sr_hz)
+    mel = linear_to_mel(mag, fb)  # the vocoder's input representation
+    reps = B // mel.shape[0]
+    mel = jnp.tile(mel, (reps, 1, 1))
+
+    thr = jnp.asarray(get_thresholds(iters, 100, 0.1, 1), dtype=proc.rdtype)
+
+    def run(mel_in):
+        lin = mel_to_linear(mel_in, fb).astype(proc.rdtype)
+        return proc._batch_fn(lin, jnp.zeros_like(lin), thresholds=thr)
+
+    out, wall = _timed(run, mel)
+    c1 = float(np.asarray(proc.get_consistency((out[0][:16], out[1][:16]))).mean())
+    return dict(name="vocoder", audio_s=B * secs, wall=wall, iters=iters,
+                shape=(B,) + tuple(mel.shape[-2:]), cons=(None, c1))
+
+
+def bench_longform(on_tpu):
+    import jax.numpy as jnp
+    from lws_tpu import LWS, get_thresholds
+    secs, iters = (630.0, 100) if on_tpu else (10.0, 3)
+    sr_hz, fsize, fshift = 48000, 4096, 1024
+    rng = np.random.default_rng(4)
+    x = make_batch(1, int(secs * sr_hz), sr_hz, rng)
+    proc = LWS(fsize, fshift)
+    sr, si = proc.stft_ri(x)
+    amp = jnp.sqrt(sr * sr + si * si)
+    pair = (amp, jnp.zeros_like(amp))
+    thr = jnp.asarray(get_thresholds(iters, 100, 0.1, 1), dtype=proc.rdtype)
+    out, wall = _timed(proc._batch_fn, *pair, thresholds=thr, n_rep=1)
+    c0 = float(np.asarray(proc.get_consistency(pair)).mean())
+    c1 = float(np.asarray(proc.get_consistency(out)).mean())
+    return dict(name="longform", audio_s=secs, wall=wall, iters=iters,
+                shape=tuple(amp.shape), cons=(c0, c1))
+
+
+BENCHES = {
+    1: bench_batch,
+    2: bench_pipeline,
+    3: bench_online,
+    4: bench_vocoder,
+    5: bench_longform,
+}
+
+
+def write_table(rows, backend):
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCHMARKS.md")
+    with open(path, "w") as f:
+        f.write("# Benchmarks (generated by bench.py — do not edit)\n\n")
+        f.write(f"Backend: `{backend}`. audio-s/s/chip = seconds of audio "
+                "processed per wall-clock second, steady state (median of "
+                "repeated runs after compile).\n\n")
+        f.write("| config | workload (B, T, F) | iters | wall (s) | "
+                "audio-s/s/chip | consistency (dB) |\n")
+        f.write("|---|---|---|---|---|---|\n")
+        for r in rows:
+            c0, c1 = r["cons"]
+            cons = f"{c0:.2f} → {c1:.2f}" if c0 is not None else f"→ {c1:.2f}"
+            f.write(f"| {r['name']} | {r['shape']} | {r['iters']} | "
+                    f"{r['wall']:.3f} | {r['audio_s'] / r['wall']:.0f} | "
+                    f"{cons} |\n")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=int, default=0,
+                    help="run one config (1-5); default all")
+    ap.add_argument("--no-write", action="store_true",
+                    help="skip regenerating BENCHMARKS.md")
+    args = ap.parse_args()
+
+    import jax
+    on_tpu = jax.default_backend() != "cpu"
+
+    todo = [args.config] if args.config else sorted(BENCHES)
+    rows = []
+    for idx in todo:
+        r = BENCHES[idx](on_tpu)
+        rows.append(r)
+        c0, c1 = r["cons"]
+        cons = f"{c0:.2f}->{c1:.2f}" if c0 is not None else f"->{c1:.2f}"
+        print(f"[bench] {r['name']}: shape={r['shape']} iters={r['iters']} "
+              f"wall={r['wall'] * 1000:.0f}ms "
+              f"rate={r['audio_s'] / r['wall']:.0f} audio-s/s "
+              f"consistency {cons} dB", file=sys.stderr)
+
+    if not args.no_write and not args.config:
+        write_table(rows, jax.default_backend())
+
+    head = rows[0]
+    value = head["audio_s"] / head["wall"]
     print(json.dumps({
         "metric": "audio_seconds_per_second_per_chip",
         "value": round(value, 1),
         "unit": "audio-s/s/chip",
         "vs_baseline": round(value / 100.0, 3),
+        "configs": {r["name"]: round(r["audio_s"] / r["wall"], 1) for r in rows},
     }))
 
 

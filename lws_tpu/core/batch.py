@@ -29,6 +29,7 @@ def lws_sweeps(
     thresholds: jnp.ndarray,
     order: str = "gs",
     inner_passes: int = 1,
+    inner_scheme: str = "jacobi",
 ):
     """Run len(thresholds) LWS sweeps over (sr, si) of shape (..., T, F).
 
@@ -78,7 +79,8 @@ def lws_sweeps(
 
         def frame_body(x, xs):
             m, amp_m = xs
-            return update_frame(x[0], x[1], m, amp_m, st, thr, inner_passes), None
+            return update_frame(x[0], x[1], m, amp_m, st, thr, inner_passes,
+                                inner_scheme), None
 
         (xr, xi), _ = lax.scan(frame_body, (xr, xi), (jnp.arange(T), amp_t))
         return (xr[..., Q - 1:Q - 1 + T, L:L + F], xi[..., Q - 1:Q - 1 + T, L:L + F]), None

@@ -37,6 +37,7 @@ def rtisi_la(
     st_af: Stencil,  # stencil(W_asym_full, v=0)
     thresholds: jnp.ndarray,
     inner_passes: int = 1,
+    inner_scheme: str = "jacobi",
 ):
     """Run online (RTISI-LA) phase recovery over (sr, si) of shape (..., T, F)."""
     iters = thresholds.shape[0]
@@ -75,12 +76,14 @@ def rtisi_la(
                 xh = lax.cond(
                     f >= 0,
                     lambda s, ff=f, dd=d: update_frame(
-                        s[0], s[1], ff, amp_row(ff), st_la[dd - 1], thr, inner_passes),
+                        s[0], s[1], ff, amp_row(ff), st_la[dd - 1], thr, inner_passes,
+                        inner_scheme),
                     lambda s: s,
                     xh,
                 )
             # (2b) newest frame with the asymmetric-full window
-            return update_frame(xh[0], xh[1], m, amp_m, st_af, thr, inner_passes)
+            return update_frame(xh[0], xh[1], m, amp_m, st_af, thr, inner_passes,
+                                inner_scheme)
 
         x = lax.fori_loop(0, iters, h_body, x)
         return x, None

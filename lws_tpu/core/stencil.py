@@ -151,9 +151,20 @@ def apply_stencil(xr: jnp.ndarray, xi: jnp.ndarray, st: Stencil) -> RI:
     return tr, ti
 
 
+def _parse_colors(scheme: str) -> tuple[int, int]:
+    """'twocolor' -> (2, 1); 'colorK' -> (K, 1); 'colorKxR' -> (K, R)."""
+    if scheme == "twocolor":
+        return 2, 1
+    if scheme.startswith("color"):
+        body = scheme[5:]
+        k, _, r = body.partition("x")
+        return int(k), int(r) if r else 1
+    raise ValueError(f"unknown inner_scheme: {scheme!r}")
+
+
 def update_frame(
     xr: jnp.ndarray, xi: jnp.ndarray, m, amp_m: jnp.ndarray, st: Stencil, thr,
-    inner_passes: int = 1,
+    inner_passes: int = 1, inner_scheme: str = "jacobi",
 ) -> RI:
     """Gauss-Seidel update of one frame (true index m) of the extended arrays.
 
@@ -164,9 +175,13 @@ def update_frame(
 
     The reference additionally Gauss-Seidels *within* the frame (raster order
     over bins, lwslib.cpp:81-82), which a vectorized update cannot reproduce
-    exactly. `inner_passes > 1` re-applies the same-frame (dr = 0) taps
-    against freshly updated values to approximate that information flow;
-    off-centre taps are computed once and reused.
+    exactly. Two approximations of that in-frame information flow:
+      - inner_scheme="jacobi", inner_passes > 1: re-apply the same-frame
+        (dr = 0) taps against freshly updated values (symmetric re-passes);
+      - inner_scheme="twocolor": red-black ordering over bins — even bins
+        update first, odd bins then read the updated evens through the
+        dr = 0 frequency taps (sequential flow at full vector width).
+    Off-centre taps are computed once and reused in both schemes.
     """
     Q, L = st.Q, st.L
     F = st.n_bins
@@ -203,15 +218,30 @@ def update_frame(
     has_centre = bool(st.nz[c].any())
     row_r, row_i = pr[..., c, :], pi[..., c, :]
     old_r, old_i = row_r[..., L:L + F], row_i[..., L:L + F]
-    for _ in range(inner_passes if has_centre else 1):
-        if has_centre:
-            cr, ci = centre_taps(row_r, row_i)
-            fr, fi = tr + cr, ti + ci
-        else:
-            fr, fi = tr, ti
-        new_r, new_i = phase_update(fr, fi, amp_m, old_r, old_i, thr)
-        er, ei = freq_extend(new_r[..., None, :], new_i[..., None, :], L)
-        row_r, row_i = er[..., 0, :], ei[..., 0, :]
+    if has_centre and inner_scheme != "jacobi":
+        k, rounds = _parse_colors(inner_scheme)
+        parity = jnp.arange(F) % k
+        cur_r, cur_i = old_r, old_i
+        for _round in range(rounds):
+            for color in range(k):
+                cr, ci = centre_taps(row_r, row_i)
+                fr, fi = tr + cr, ti + ci
+                nr, ni = phase_update(fr, fi, amp_m, cur_r, cur_i, thr)
+                sel = parity == color
+                cur_r = jnp.where(sel, nr, cur_r)
+                cur_i = jnp.where(sel, ni, cur_i)
+                er, ei = freq_extend(cur_r[..., None, :], cur_i[..., None, :], L)
+                row_r, row_i = er[..., 0, :], ei[..., 0, :]
+    else:
+        for _ in range(inner_passes if has_centre else 1):
+            if has_centre:
+                cr, ci = centre_taps(row_r, row_i)
+                fr, fi = tr + cr, ti + ci
+            else:
+                fr, fi = tr, ti
+            new_r, new_i = phase_update(fr, fi, amp_m, old_r, old_i, thr)
+            er, ei = freq_extend(new_r[..., None, :], new_i[..., None, :], L)
+            row_r, row_i = er[..., 0, :], ei[..., 0, :]
 
     xr = lax.dynamic_update_slice_in_dim(xr, row_r[..., None, :], m + Q - 1, axis=tdim)
     xi = lax.dynamic_update_slice_in_dim(xi, row_i[..., None, :], m + Q - 1, axis=tdim)

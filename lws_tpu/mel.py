@@ -77,16 +77,25 @@ def linear_to_mel(spec_mag, fb) -> jnp.ndarray:
     return spec_mag @ fb.T
 
 
+_PINV_CACHE: dict = {}
+
+
 def mel_to_linear(mel_mag, fb, eps: float = 1e-10) -> jnp.ndarray:
     """Approximate inverse projection: (..., T, n_mels) -> (..., T, n_bins).
 
     Uses the Moore-Penrose pseudo-inverse of the filterbank with a
     non-negativity clamp - the standard Tacotron-style inversion before
-    phase recovery. The pinv is computed once on host (float64) and applied
-    as one batched matmul.
+    phase recovery. The pinv is computed once per filterbank (host SVD,
+    float64, cached on the filterbank bytes) and applied as one batched
+    matmul.
     """
     mel_mag = jnp.asarray(mel_mag)
-    inv = np.linalg.pinv(np.asarray(fb, dtype=np.float64))  # (n_bins, n_mels)
+    fb64 = np.ascontiguousarray(np.asarray(fb, dtype=np.float64))
+    key = (fb64.shape, hash(fb64.tobytes()))
+    inv = _PINV_CACHE.get(key)
+    if inv is None:
+        inv = np.linalg.pinv(fb64)  # (n_bins, n_mels)
+        _PINV_CACHE[key] = inv
     proj = mel_mag @ jnp.asarray(inv.T, dtype=mel_mag.dtype)
     return jnp.maximum(proj, eps)
 

@@ -24,9 +24,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.stencil import Stencil
+from ..core.stencil import Stencil, _parse_colors
 
-__all__ = ["packed_lws_sweeps", "packed_rtisi_la", "packed_supported", "tiled_lws_sweeps"]
+__all__ = ["packed_lws_sweeps", "packed_rtisi_la", "packed_supported", "online_supported", "tiled_lws_sweeps"]
 
 
 def _cdiv(a, b):
@@ -34,10 +34,13 @@ def _cdiv(a, b):
 
 
 def packed_supported(T: int, F: int, Q: int, L: int, pack: int = 4,
-                     vmem_budget: int = 14 * 2 ** 20) -> bool:
+                     n_sets: int = 1, vmem_budget: int = 14 * 2 ** 20) -> bool:
+    """Whether a fully-VMEM-resident packed kernel fits. `n_sets` is the
+    number of stencil weight sets the kernel loads (1 for batch/no-future,
+    2 + look_ahead for online RTISI-LA)."""
     fp = _cdiv(F, 128) * 128
     per_plane = (T + 2 * Q + 8) * pack * fp * 4
-    weights = 2 * 8 * (2 * Q - 1) * (2 * L + 1) * fp * 4
+    weights = 2 * n_sets * (2 * Q - 1) * (2 * L + 1) * fp * 4
     return 3 * per_plane + weights < vmem_budget
 
 
@@ -58,13 +61,49 @@ def _dma(src, dst, sem):
     cp.wait()
 
 
+def _color_rounds(tr, ti, row_er, row_ei, amp_m, thr, scheme,
+                  wr_at, wi_at, nz_c, F, L, extra_cond=None):
+    """Red-black in-frame update (core/stencil.py update_frame's
+    inner_scheme='colorKxR', kernel formulation): `tr/ti` hold the off-centre
+    tap sums, `row_er/row_ei` the freq-extended current row (1, P, F+2L).
+    Each color pass recomputes the dr=0 taps from the evolving row so later
+    colors read already-updated neighbour bins. Returns the updated interior
+    row and its extension."""
+    k, rounds = _parse_colors(scheme)
+    parity = jax.lax.broadcasted_iota(jnp.int32, (1, 1, F), 2) % k
+    cur_r = row_er[..., L:L + F]
+    cur_i = row_ei[..., L:L + F]
+    er, ei = row_er, row_ei
+    for _ in range(rounds):
+        for color in range(k):
+            cr = jnp.zeros_like(tr)
+            ci = jnp.zeros_like(tr)
+            for dk in range(2 * L + 1):
+                if not nz_c[dk]:
+                    continue
+                wr, wi = wr_at(dk), wi_at(dk)
+                br, bi = er[..., dk:dk + F], ei[..., dk:dk + F]
+                cr += wr * br - wi * bi
+                ci += wr * bi + wi * br
+            fr, fi = tr + cr, ti + ci
+            a = jnp.sqrt(fr * fr + fi * fi)
+            scale = amp_m / jnp.where(a > 0, a, 1)
+            cond = (amp_m > thr) & (a > 0) & (parity == color)
+            if extra_cond is not None:
+                cond = cond & extra_cond
+            cur_r = jnp.where(cond, fr * scale, cur_r)
+            cur_i = jnp.where(cond, fi * scale, cur_i)
+            er, ei = _freq_halo(cur_r, cur_i, F, L)
+    return cur_r, cur_i, er, ei
+
+
 # ---------------------------------------------------------------------------
 # batch / no-future sweeps
 # ---------------------------------------------------------------------------
 
 def _sweeps_kernel(thr_ref, mean_ref, sr_hbm, si_hbm, amp_hbm, wr_ref, wi_ref,
                    osr_hbm, osi_hbm, xr, xi, am, sem, *, T, F, Q, L, iters,
-                   micro, nz, inner_passes, P):
+                   micro, nz, inner_passes, inner_scheme, P):
     # scratch/slab lane width is padded to a 128 multiple (DMA requires
     # tile-aligned transfers); compute slices values down to F lanes
     """One program = P utterances. Scratch layout (rows, P, F); frame t at
@@ -86,7 +125,7 @@ def _sweeps_kernel(thr_ref, mean_ref, sr_hbm, si_hbm, amp_hbm, wr_ref, wi_ref,
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (micro, 1, 1), 0)
     has_centre = bool(nz[Q1].any())
 
-    cdt = jnp.float32  # compute dtype (storage may be bf16)
+    cdt = jnp.promote_types(xr.dtype, jnp.float32)  # bf16 storage computes in f32
 
     def window_iter(it, _):
         """micro=1 fast path: a sliding register window of the 2Q-1 frames
@@ -103,11 +142,15 @@ def _sweeps_kernel(thr_ref, mean_ref, sr_hbm, si_hbm, amp_hbm, wr_ref, wi_ref,
         win_r0 = jnp.concatenate([r for r, _i in rows0], axis=0)
         win_i0 = jnp.concatenate([_i for r, _i in rows0], axis=0)
 
+        use_colors = inner_scheme != "jacobi" and has_centre
+
         def frame_body(m, carry):
             win_r, win_i = carry
             tr = jnp.zeros((1, P, F), dtype=win_r.dtype)
             ti = jnp.zeros_like(tr)
             for dr in range(2 * Q - 1):
+                if use_colors and dr == Q1:
+                    continue  # centre taps handled by the color rounds
                 for dk in range(2 * L + 1):
                     if not nz[dr, dk]:
                         continue
@@ -118,16 +161,22 @@ def _sweeps_kernel(thr_ref, mean_ref, sr_hbm, si_hbm, amp_hbm, wr_ref, wi_ref,
                     tr += wr * br - wi * bi
                     ti += wr * bi + wi * br
             amp_m = am[pl.ds(m, 1)][..., :F].astype(cdt)
-            a = jnp.sqrt(tr * tr + ti * ti)
-            scale = amp_m / jnp.where(a > 0, a, 1)
-            cond = (amp_m > thr) & (a > 0)
-            old_r = win_r[Q1:Q1 + 1, :, L:L + F]
-            old_i = win_i[Q1:Q1 + 1, :, L:L + F]
-            new_r = jnp.where(cond, tr * scale, old_r)
-            new_i = jnp.where(cond, ti * scale, old_i)
+            if use_colors:
+                new_r, new_i, er, ei = _color_rounds(
+                    tr, ti, win_r[Q1:Q1 + 1], win_i[Q1:Q1 + 1], amp_m, thr,
+                    inner_scheme, lambda dk: wr_ref[Q1, dk, :],
+                    lambda dk: wi_ref[Q1, dk, :], nz[Q1], F, L)
+            else:
+                a = jnp.sqrt(tr * tr + ti * ti)
+                scale = amp_m / jnp.where(a > 0, a, 1)
+                cond = (amp_m > thr) & (a > 0)
+                old_r = win_r[Q1:Q1 + 1, :, L:L + F]
+                old_i = win_i[Q1:Q1 + 1, :, L:L + F]
+                new_r = jnp.where(cond, tr * scale, old_r)
+                new_i = jnp.where(cond, ti * scale, old_i)
+                er, ei = _freq_halo(new_r, new_i, F, L)
             xr[pl.ds(Q1 + m, 1), :, :F] = new_r.astype(xr.dtype)  # write-back
             xi[pl.ds(Q1 + m, 1), :, :F] = new_i.astype(xi.dtype)
-            er, ei = _freq_halo(new_r, new_i, F, L)
             # shift: drop the oldest row, re-centre, pull in frame m+Q (old)
             nxt = jnp.minimum(m + 2 * Q1 + 1, T + 2 * Q1 - 1)
             nr = xr[pl.ds(nxt, 1)][..., :F].astype(cdt)
@@ -143,8 +192,10 @@ def _sweeps_kernel(thr_ref, mean_ref, sr_hbm, si_hbm, amp_hbm, wr_ref, wi_ref,
     def group_update(it, grp, _):
         thr = thr_ref[it] * mean_amp  # (P, 1)
         start = grp * micro
-        pr = xr[pl.ds(start, micro + 2 * Q1)][..., :F]  # (micro+2Q1, P, F)
-        pi = xi[pl.ds(start, micro + 2 * Q1)][..., :F]
+        # accumulate in f32 regardless of (possibly bf16) storage dtype,
+        # mirroring the micro=1 window path
+        pr = xr[pl.ds(start, micro + 2 * Q1)][..., :F].astype(cdt)
+        pi = xi[pl.ds(start, micro + 2 * Q1)][..., :F].astype(cdt)
         er, ei = _freq_halo(pr, pi, F, L)
 
         tr = jnp.zeros((micro, P, F), dtype=pr.dtype)
@@ -162,7 +213,7 @@ def _sweeps_kernel(thr_ref, mean_ref, sr_hbm, si_hbm, amp_hbm, wr_ref, wi_ref,
                 tr += wr * br - wi * bi
                 ti += wr * bi + wi * br
 
-        amp_g = am[pl.ds(start, micro)][..., :F]
+        amp_g = am[pl.ds(start, micro)][..., :F].astype(cdt)
         old_r = er[Q1:Q1 + micro, :, L:L + F]
         old_i = ei[Q1:Q1 + micro, :, L:L + F]
         valid = (start + row_ids) < T
@@ -212,6 +263,7 @@ def packed_lws_sweeps(
     micro: int = 1,
     pack: int = 4,
     inner_passes: int = 1,
+    inner_scheme: str = "jacobi",
     storage=None,
     interpret: bool = False,
 ):
@@ -260,9 +312,11 @@ def packed_lws_sweeps(
     sr_t, si_t, amp_t = to_slabs(sr), to_slabs(si), to_slabs(amp)
     mean_t = mean_amp.reshape(G, P, 1)
 
+    wdt = jnp.promote_types(sr.dtype, jnp.float32)
     kern = functools.partial(
         _sweeps_kernel, T=T, F=F, Q=Q, L=L, iters=iters, micro=micro,
-        nz=st.nz, inner_passes=int(inner_passes), P=P)
+        nz=st.nz, inner_passes=int(inner_passes), inner_scheme=inner_scheme,
+        P=P)
 
     rows = (Q - 1) + n_groups * micro + (Q - 1) + micro  # + read slack
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
@@ -288,7 +342,7 @@ def packed_lws_sweeps(
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(thresholds.astype(sr.dtype), mean_t, sr_t, si_t, amp_t,
-      st.Wr[:, :, :F], st.Wi[:, :, :F])
+      st.Wr[:, :, :F].astype(wdt), st.Wi[:, :, :F].astype(wdt))
 
     def from_slabs(a):  # (G, T, P, Fpad) -> (B, T, F)
         a = a.astype(sr.dtype)
@@ -304,19 +358,39 @@ def packed_lws_sweeps(
 # online RTISI-LA
 # ---------------------------------------------------------------------------
 
-def _online_kernel(thr_ref, mean_ref, sr_hbm, si_hbm, amp_hbm, wr_ref, wi_ref,
-                   osr_hbm, osi_hbm, inr, ini, am, stage_r, stage_i, sem,
-                   *, T, F, Q, L, LA, iters, nzs, P):
-    """One program = P utterances, slab (T, P, F); sliding register window."""
+def online_supported(F: int, Q: int, L: int, LA: int, pack: int = 8,
+                     vmem_budget: int = 14 * 2 ** 20) -> bool:
+    """Whether the streaming online kernel's VMEM-resident parts fit: the
+    2+LA stencil weight sets dominate; the sliding state window is
+    O((LA+Q)*pack) rows regardless of T."""
+    fp = _cdiv(F, 128) * 128
+    weights = 2 * (2 + LA) * (2 * Q - 1) * (2 * L + 1) * fp * 4
+    rows = (LA + 2 * Q - 1) + (LA + 1) + 6  # window + amp window + buffers
+    window = 3 * rows * pack * (fp + 2 * L) * 4
+    return weights + window < vmem_budget
+
+
+def _online_kernel(thr_ref, mean_ref, sr_hbm, si_hbm, wr_ref, wi_ref,
+                   osr_hbm, osi_hbm, row_r, row_i, stage_r, stage_i, sem,
+                   *, T, F, Q, L, LA, iters, nzs, inner_scheme, P):
+    """One program = P utterances, streaming over frames: per step one input
+    row is DMA'd from HBM, the amplitude is computed in-kernel into a carried
+    (LA+1)-row window, the evolving phase state lives in a sliding register
+    window, and the committed row streams straight back to HBM (the output
+    slab aliases the input). VMEM use is independent of T, so any
+    spectrogram length runs (the reference TF_RTISI_LA, lwslib.cpp:1424-1492,
+    likewise works at any size)."""
     W = LA + Q
     WR = W + Q - 1
     g = pl.program_id(0)
     mean_amp = mean_ref[0]  # (P, 1)
-    big = jnp.asarray(3.4e38, inr.dtype)
+    cdt = jnp.promote_types(row_r.dtype, jnp.float32)
+    big = jnp.asarray(3.4e38, cdt)
 
-    _dma(sr_hbm.at[g], inr.at[:], sem)
-    _dma(si_hbm.at[g], ini.at[:], sem)
-    _dma(amp_hbm.at[g], am.at[:], sem)
+    def load_row(mc):
+        _dma(sr_hbm.at[g, pl.ds(mc, 1)], row_r.at[:], sem)
+        _dma(si_hbm.at[g, pl.ds(mc, 1)], row_i.at[:], sem)
+        return (row_r[:][..., :F].astype(cdt), row_i[:][..., :F].astype(cdt))
 
     def set_row(arr, row, idx):
         parts = []
@@ -329,9 +403,12 @@ def _online_kernel(thr_ref, mean_ref, sr_hbm, si_hbm, amp_hbm, wr_ref, wi_ref,
 
     def row_update(win_r, win_i, idx, w_set, thr, amp_row):
         nz = nzs[w_set]
+        use_colors = inner_scheme != "jacobi" and bool(nz[Q - 1].any())
         tr = jnp.zeros((1, P, F), dtype=win_r.dtype)
         ti = jnp.zeros_like(tr)
         for dr in range(2 * Q - 1):
+            if use_colors and dr == Q - 1:
+                continue  # centre taps handled by the color rounds
             for dk in range(2 * L + 1):
                 if not nz[dr, dk]:
                     continue
@@ -342,37 +419,49 @@ def _online_kernel(thr_ref, mean_ref, sr_hbm, si_hbm, amp_hbm, wr_ref, wi_ref,
                 bi = win_i[r:r + 1, :, dk:dk + F]
                 tr += wr * br - wi * bi
                 ti += wr * bi + wi * br
-        a = jnp.sqrt(tr * tr + ti * ti)
-        scale = amp_row / jnp.where(a > 0, a, 1)
-        cond = (amp_row > thr) & (a > 0)
-        old_r = win_r[idx:idx + 1, :, L:L + F]
-        old_i = win_i[idx:idx + 1, :, L:L + F]
-        new_r = jnp.where(cond, tr * scale, old_r)
-        new_i = jnp.where(cond, ti * scale, old_i)
-        er, ei = _freq_halo(new_r, new_i, F, L)
+        if use_colors:
+            _, _, er, ei = _color_rounds(
+                tr, ti, win_r[idx:idx + 1], win_i[idx:idx + 1], amp_row, thr,
+                inner_scheme, lambda dk: wr_ref[w_set, Q - 1, dk, :],
+                lambda dk: wi_ref[w_set, Q - 1, dk, :], nz[Q - 1], F, L)
+        else:
+            a = jnp.sqrt(tr * tr + ti * ti)
+            scale = amp_row / jnp.where(a > 0, a, 1)
+            cond = (amp_row > thr) & (a > 0)
+            old_r = win_r[idx:idx + 1, :, L:L + F]
+            old_i = win_i[idx:idx + 1, :, L:L + F]
+            new_r = jnp.where(cond, tr * scale, old_r)
+            new_i = jnp.where(cond, ti * scale, old_i)
+            er, ei = _freq_halo(new_r, new_i, F, L)
         return set_row(win_r, er, idx), set_row(win_i, ei, idx)
 
     newest = W - 1
 
     def frame_step(m, carry):
-        win_r, win_i = carry
+        win_r, win_i, ampw = carry
         live = m < T
         mc = jnp.minimum(m, T - 1)
-        fr_, fi_ = _freq_halo(inr[pl.ds(mc, 1)][..., :F], ini[pl.ds(mc, 1)][..., :F], F, L)
+        rr, ri = load_row(mc)
+        # drain steps (m >= T) shift in a dead row: amp 0 + thr big disable
+        # every update, so only the commit pipeline advances
+        amp_new = jnp.where(live, jnp.sqrt(rr * rr + ri * ri), 0.0)
+        ampw = jnp.concatenate([ampw[1:], amp_new], axis=0)
+        fr_, fi_ = _freq_halo(rr, ri, F, L)
         win_r = jnp.concatenate([win_r[1:W], fr_, win_r[W:]], axis=0)
         win_i = jnp.concatenate([win_i[1:W], fi_, win_i[W:]], axis=0)
 
-        amp_m = jnp.where(live, am[pl.ds(mc, 1)][..., :F], 0.0)
-        thr0 = jnp.where(live, jnp.zeros((), inr.dtype), big)
+        amp_m = ampw[LA:LA + 1]
+        thr0 = jnp.where(live, jnp.zeros((), cdt), big)
         win_r, win_i = row_update(win_r, win_i, newest, 0, thr0, amp_m)
 
         def h_body(h, wcar):
             wr_, wi_ = wcar
             thr = jnp.where(live, thr_ref[h] * mean_amp, big)
             for d in range(LA, 0, -1):
-                md = jnp.clip(m - d, 0, T - 1)
-                amp_d = jnp.where(m - d >= 0, am[pl.ds(md, 1)][..., :F], 0.0)
-                wr_, wi_ = row_update(wr_, wi_, newest - d, 2 + (d - 1), thr, amp_d)
+                # rows before the stream start are zeros from the window init,
+                # matching the m-d < 0 masking of the offline scan
+                wr_, wi_ = row_update(wr_, wi_, newest - d, 2 + (d - 1), thr,
+                                      ampw[LA - d:LA - d + 1])
             return row_update(wr_, wi_, newest, 1, thr, amp_m)
 
         win_r, win_i = jax.lax.fori_loop(0, iters, h_body, (win_r, win_i))
@@ -382,16 +471,19 @@ def _online_kernel(thr_ref, mean_ref, sr_hbm, si_hbm, amp_hbm, wr_ref, wi_ref,
         cc = jnp.clip(c, 0, T - 1)
         @pl.when(jnp.logical_and(c >= 0, c < T))
         def _():
-            stage_r[:, :, :F] = win_r[newest - LA:newest - LA + 1, :, L:L + F]
-            stage_i[:, :, :F] = win_i[newest - LA:newest - LA + 1, :, L:L + F]
+            stage_r[:, :, :F] = win_r[newest - LA:newest - LA + 1, :, L:L + F].astype(stage_r.dtype)
+            stage_i[:, :, :F] = win_i[newest - LA:newest - LA + 1, :, L:L + F].astype(stage_i.dtype)
             _dma(stage_r.at[:], osr_hbm.at[g, pl.ds(cc, 1)], sem)
             _dma(stage_i.at[:], osi_hbm.at[g, pl.ds(cc, 1)], sem)
-        return win_r, win_i
+        return win_r, win_i, ampw
 
-    f0r, f0i = _freq_halo(inr[0:1][..., :F], ini[0:1][..., :F], F, L)
-    win_r0 = jnp.tile(f0r, (WR, 1, 1))
-    win_i0 = jnp.tile(f0i, (WR, 1, 1))
-    jax.lax.fori_loop(0, T + LA, frame_step, (win_r0, win_i0), unroll=False)
+    f0r, f0i = load_row(0)
+    e0r, e0i = _freq_halo(f0r, f0i, F, L)
+    win_r0 = jnp.tile(e0r, (WR, 1, 1))
+    win_i0 = jnp.tile(e0i, (WR, 1, 1))
+    ampw0 = jnp.zeros((LA + 1, P, F), cdt)
+    jax.lax.fori_loop(0, T + LA, frame_step, (win_r0, win_i0, ampw0),
+                      unroll=False)
 
 
 def packed_rtisi_la(
@@ -401,10 +493,12 @@ def packed_rtisi_la(
     st_ai: Stencil,
     st_af: Stencil,
     thresholds: jnp.ndarray,
-    pack: int = 4,
+    pack: int = 8,
+    inner_scheme: str = "jacobi",
     interpret: bool = False,
 ):
-    """Online RTISI-LA, P utterances per program. (B, T, F) planes."""
+    """Online RTISI-LA, P utterances per program, any T*F (state streams
+    through a VMEM register window; HBM slabs are aliased in place)."""
     if thresholds.shape[0] == 0:
         return sr, si
     squeeze = sr.ndim == 2
@@ -423,7 +517,7 @@ def packed_rtisi_la(
     b_pad = (-B) % P
     if b_pad:
         pad3 = ((0, b_pad), (0, 0), (0, 0))
-        sr, si, amp = jnp.pad(sr, pad3), jnp.pad(si, pad3), jnp.pad(amp, pad3)
+        sr, si = jnp.pad(sr, pad3), jnp.pad(si, pad3)
         mean_amp = jnp.pad(mean_amp, (0, b_pad))
     G = (B + b_pad) // P
 
@@ -433,15 +527,17 @@ def packed_rtisi_la(
         a = jnp.moveaxis(a.reshape(G, P, T, F), 1, 2)
         return jnp.pad(a, ((0, 0), (0, 0), (0, 0), (0, Fpad - F)))
 
-    sr_t, si_t, amp_t = to_slabs(sr), to_slabs(si), to_slabs(amp)
+    sr_t, si_t = to_slabs(sr), to_slabs(si)
     mean_t = mean_amp.reshape(G, P, 1)
 
     sets = [st_ai, st_af] + list(st_la)
-    wrs = jnp.stack([s.Wr[:, :, :F] for s in sets])
-    wis = jnp.stack([s.Wi[:, :, :F] for s in sets])
+    wdt = jnp.promote_types(sr.dtype, jnp.float32)
+    wrs = jnp.stack([s.Wr[:, :, :F].astype(wdt) for s in sets])
+    wis = jnp.stack([s.Wi[:, :, :F].astype(wdt) for s in sets])
     nzs = [s.nz for s in sets]
 
     kern = functools.partial(_online_kernel, T=T, F=F, Q=Q, L=L, LA=LA,
+                             inner_scheme=inner_scheme,
                              iters=iters, nzs=nzs, P=P)
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
     wspec = pl.BlockSpec(wrs.shape, lambda g: (0, 0, 0, 0), memory_space=pltpu.VMEM)
@@ -451,22 +547,22 @@ def packed_rtisi_la(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, P, 1), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-            hbm, hbm, hbm, wspec, wspec,
+            hbm, hbm, wspec, wspec,
         ],
         out_specs=(hbm, hbm),
         out_shape=(jax.ShapeDtypeStruct((G, T, P, Fpad), sr.dtype),
                    jax.ShapeDtypeStruct((G, T, P, Fpad), si.dtype)),
         scratch_shapes=[
-            pltpu.VMEM((T, P, Fpad), sr.dtype),
-            pltpu.VMEM((T, P, Fpad), si.dtype),
-            pltpu.VMEM((T, P, Fpad), sr.dtype),
+            pltpu.VMEM((1, P, Fpad), sr.dtype),
+            pltpu.VMEM((1, P, Fpad), si.dtype),
             pltpu.VMEM((1, P, Fpad), sr.dtype),
             pltpu.VMEM((1, P, Fpad), si.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        input_output_aliases={2: 0, 3: 1},  # committed rows overwrite in place
         interpret=interpret,
-    )(thresholds.astype(sr.dtype), mean_t, sr_t, si_t, amp_t, wrs, wis)
+    )(thresholds.astype(sr.dtype), mean_t, sr_t, si_t, wrs, wis)
 
     def from_slabs(a):
         return jnp.moveaxis(a[..., :F], 2, 1).reshape(G * P, T, F)[:B]
@@ -483,7 +579,8 @@ def packed_rtisi_la(
 
 def _tiled_sweeps_kernel(thr_ref, mean_ref, s_hbm_r, s_hbm_i, amp_hbm,
                          wr_ref, wi_ref, osr_hbm, osi_hbm, xr, xi, am, sem,
-                         *, T, F, Q, L, iters, micro, nz, inner_passes, P, TT):
+                         *, T, F, Q, L, iters, micro, nz, inner_passes,
+                         inner_scheme, P, TT):
     """Long-T variant: the evolving state lives in the (pre-halo-padded)
     OUTPUT slab in HBM; each iteration sweeps time tiles of TT frames,
     DMA-ing tile+halo in and the updated tile out. Because tiles are
@@ -508,7 +605,7 @@ def _tiled_sweeps_kernel(thr_ref, mean_ref, s_hbm_r, s_hbm_i, amp_hbm,
     def window_tile(thr, t0):
         """micro=1 fast path within a tile: sliding register window, one
         row write-back + one row shift-in per frame (see _sweeps_kernel)."""
-        cdt = jnp.float32
+        cdt = jnp.promote_types(xr.dtype, jnp.float32)
 
         def halo1(j):
             rr = xr[pl.ds(j, 1)][..., :F].astype(cdt)
@@ -519,11 +616,15 @@ def _tiled_sweeps_kernel(thr_ref, mean_ref, s_hbm_r, s_hbm_i, amp_hbm,
         win_r0 = jnp.concatenate([r for r, _i in rows0], axis=0)
         win_i0 = jnp.concatenate([_i for r, _i in rows0], axis=0)
 
+        use_colors = inner_scheme != "jacobi" and has_centre
+
         def frame_body(mm, carry):
             win_r, win_i = carry
             tr = jnp.zeros((1, P, F), dtype=win_r.dtype)
             ti = jnp.zeros_like(tr)
             for dr in range(2 * Q - 1):
+                if use_colors and dr == Q1:
+                    continue  # centre taps handled by the color rounds
                 for dk in range(2 * L + 1):
                     if not nz[dr, dk]:
                         continue
@@ -532,16 +633,24 @@ def _tiled_sweeps_kernel(thr_ref, mean_ref, s_hbm_r, s_hbm_i, amp_hbm,
                     tr += wr * win_r[dr:dr + 1, :, dk:dk + F] - wi * win_i[dr:dr + 1, :, dk:dk + F]
                     ti += wr * win_i[dr:dr + 1, :, dk:dk + F] + wi * win_r[dr:dr + 1, :, dk:dk + F]
             amp_m = am[pl.ds(mm, 1)][..., :F].astype(cdt)
-            a = jnp.sqrt(tr * tr + ti * ti)
-            scale = amp_m / jnp.where(a > 0, a, 1)
-            cond = (amp_m > thr) & (a > 0) & ((t0 + mm) < T)
-            old_r = win_r[Q1:Q1 + 1, :, L:L + F]
-            old_i = win_i[Q1:Q1 + 1, :, L:L + F]
-            new_r = jnp.where(cond, tr * scale, old_r)
-            new_i = jnp.where(cond, ti * scale, old_i)
+            valid = (t0 + mm) < T
+            if use_colors:
+                new_r, new_i, er, ei = _color_rounds(
+                    tr, ti, win_r[Q1:Q1 + 1], win_i[Q1:Q1 + 1], amp_m, thr,
+                    inner_scheme, lambda dk: wr_ref[Q1, dk, :],
+                    lambda dk: wi_ref[Q1, dk, :], nz[Q1], F, L,
+                    extra_cond=valid)
+            else:
+                a = jnp.sqrt(tr * tr + ti * ti)
+                scale = amp_m / jnp.where(a > 0, a, 1)
+                cond = (amp_m > thr) & (a > 0) & valid
+                old_r = win_r[Q1:Q1 + 1, :, L:L + F]
+                old_i = win_i[Q1:Q1 + 1, :, L:L + F]
+                new_r = jnp.where(cond, tr * scale, old_r)
+                new_i = jnp.where(cond, ti * scale, old_i)
+                er, ei = _freq_halo(new_r, new_i, F, L)
             xr[pl.ds(Q1 + mm, 1), :, :F] = new_r.astype(xr.dtype)
             xi[pl.ds(Q1 + mm, 1), :, :F] = new_i.astype(xi.dtype)
-            er, ei = _freq_halo(new_r, new_i, F, L)
             nxt = jnp.minimum(mm + 2 * Q1 + 1, TT + 2 * Q1 - 1)
             nr = xr[pl.ds(nxt, 1)][..., :F].astype(cdt)
             ni = xi[pl.ds(nxt, 1)][..., :F].astype(cdt)
@@ -633,16 +742,31 @@ def tiled_lws_sweeps(
     pack: int = 4,
     tile: int | None = None,
     inner_passes: int = 1,
+    inner_scheme: str = "jacobi",
     interpret: bool = False,
+    halo: tuple | None = None,
+    mean_amp: jnp.ndarray | None = None,
 ):
     """Batch/no-future sweeps for arbitrary T: exact same frame order as
     packed_lws_sweeps, with the state streamed through VMEM in time tiles.
-    `tile=None` sizes the tile to the VMEM budget."""
+    `tile=None` sizes the tile to the VMEM budget.
+
+    `halo`, when given, is (top_r, top_i, bot_r, bot_i) of shape (B, Q-1, F):
+    explicit frozen time-halo frames used instead of the default edge
+    replicas — the time-sharded multi-chip path passes the neighbour shard's
+    boundary frames here (parallel/sharding.py). `mean_amp` (B,) overrides
+    the locally computed mean magnitude (the global psum'd mean when time-
+    sharded, matching the reference's whole-spectrogram mean,
+    python/lws.pyx:240-245)."""
     if thresholds.shape[0] == 0:
         return sr, si
     squeeze = sr.ndim == 2
     if squeeze:
         sr, si = sr[None], si[None]
+        if halo is not None:
+            halo = tuple(h[None] for h in halo)
+        if mean_amp is not None:
+            mean_amp = mean_amp[None]
     B, T, F = sr.shape
     Q, L = st.Q, st.L
     Q1 = Q - 1
@@ -660,37 +784,55 @@ def tiled_lws_sweeps(
     TT = max(micro, (int(tile) // micro) * micro)
 
     amp = jnp.sqrt(sr * sr + si * si)
-    mean_amp = jnp.mean(amp, axis=(-2, -1))
+    if mean_amp is None:
+        mean_amp = jnp.mean(amp, axis=(-2, -1))
 
     b_pad = (-B) % P
     if b_pad:
         pad3 = ((0, b_pad), (0, 0), (0, 0))
         sr, si, amp = jnp.pad(sr, pad3), jnp.pad(si, pad3), jnp.pad(amp, pad3)
         mean_amp = jnp.pad(mean_amp, (0, b_pad))
+        if halo is not None:
+            halo = tuple(jnp.pad(h, pad3) for h in halo)
     G = (B + b_pad) // P
     n_tiles = _cdiv(T, TT)
     t_pad = n_tiles * TT - T
     Fpad = _cdiv(F, 128) * 128
 
-    def to_slabs(a, halo):
-        # (B, T, F) -> (G, Q1 + T + t_pad + Q1, P, Fpad) with edge-replica halos
+    def to_slabs(a, with_halo, top_h=None, bot_h=None):
+        # (B, T, F) -> (G, Q1 + T + t_pad + Q1, P, Fpad) with time halos
+        # (explicit frames when given, edge replicas otherwise)
         a = jnp.moveaxis(a.reshape(G, P, T, F), 1, 2)
-        if halo:
-            top = jnp.tile(a[:, :1], (1, Q1, 1, 1))
-            bot = jnp.tile(a[:, -1:], (1, Q1 + t_pad, 1, 1))
+        if with_halo:
+            if top_h is None:
+                top = jnp.tile(a[:, :1], (1, Q1, 1, 1))
+                bot = jnp.tile(a[:, -1:], (1, Q1 + t_pad, 1, 1))
+            else:
+                top = jnp.moveaxis(top_h.reshape(G, P, Q1, F), 1, 2)
+                bot = jnp.moveaxis(bot_h.reshape(G, P, Q1, F), 1, 2)
+                # t_pad filler rows are only ever read as neighbours of
+                # masked (invalid) frames; replicate the last halo frame
+                bot = jnp.concatenate(
+                    [bot, jnp.tile(bot[:, -1:], (1, t_pad, 1, 1))], axis=1)
             a = jnp.concatenate([top, a, bot], axis=1)
         elif t_pad:
             a = jnp.pad(a, ((0, 0), (0, t_pad), (0, 0), (0, 0)))
         return jnp.pad(a, ((0, 0), (0, 0), (0, 0), (0, Fpad - F)))
 
-    sr_t = to_slabs(sr, True)
-    si_t = to_slabs(si, True)
+    if halo is None:
+        sr_t = to_slabs(sr, True)
+        si_t = to_slabs(si, True)
+    else:
+        sr_t = to_slabs(sr, True, halo[0], halo[2])
+        si_t = to_slabs(si, True, halo[1], halo[3])
     amp_t = to_slabs(amp, False)
     mean_t = mean_amp.reshape(G, P, 1)
 
+    wdt = jnp.promote_types(sr.dtype, jnp.float32)
     kern = functools.partial(
         _tiled_sweeps_kernel, T=T, F=F, Q=Q, L=L, iters=iters, micro=micro,
-        nz=st.nz, inner_passes=int(inner_passes), P=P, TT=TT)
+        nz=st.nz, inner_passes=int(inner_passes), inner_scheme=inner_scheme,
+        P=P, TT=TT)
 
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
     wspec = pl.BlockSpec((2 * Q - 1, 2 * L + 1, F), lambda g: (0, 0, 0),
@@ -717,7 +859,7 @@ def tiled_lws_sweeps(
         input_output_aliases={2: 0, 3: 1},  # input slabs ARE the state buffers
         interpret=interpret,
     )(thresholds.astype(sr.dtype), mean_t, sr_t, si_t, amp_t,
-      st.Wr[:, :, :F], st.Wi[:, :, :F])
+      st.Wr[:, :, :F].astype(wdt), st.Wi[:, :, :F].astype(wdt))
 
     def from_slabs(a):  # strip halos + pads
         a = a[:, Q1:Q1 + T, :, :F]

@@ -75,12 +75,24 @@ def sharded_lws_sweeps(
     mesh: Mesh,
     order: str = "gs",
     inner_passes: int = 1,
+    kernel: str = "xla",
+    sweeps_per_exchange: int = 1,
+    pack: int = 1,
+    inner_scheme: str = "jacobi",
+    interpret: bool = False,
 ):
     """Time-sharded batch/no-future LWS sweeps with per-sweep halo exchange.
 
-    Input (B, T, F) is sharded (B over 'data', T over 'time'); each sweep
+    Input (B, T, F) is sharded (B over 'data', T over 'time'); each round
     ppermutes the (Q-1)-frame boundary halos between time-neighbours. Each
     shard must hold at least Q-1 frames.
+
+    kernel='xla' runs the portable frame-scan (CPU/f64 tests); kernel='tiled'
+    runs the TPU-fast Pallas tiled kernel on each local shard between halo
+    exchanges (`interpret=True` for CPU validation). `sweeps_per_exchange`
+    trades halo traffic for staleness: s>1 runs s full Gauss-Seidel sweeps
+    on the local shard per exchange (block-Jacobi with period s across
+    shards; fine when shards hold many more than Q-1 frames, SURVEY 7.3.2).
     """
     Q, L = st.Q, st.L
     F = st.n_bins
@@ -92,6 +104,14 @@ def sharded_lws_sweeps(
         raise ValueError(f"each time shard needs >= Q-1={Q - 1} frames")
     right_perm = [(i, i + 1) for i in range(n_time - 1)]
     left_perm = [(i + 1, i) for i in range(n_time - 1)]
+
+    if kernel == "tiled":
+        return _sharded_tiled(sr, si, st, thresholds, mesh,
+                              sweeps_per_exchange, pack, inner_passes,
+                              inner_scheme, interpret, right_perm, left_perm,
+                              T_total)
+    if kernel != "xla":
+        raise ValueError(f"unknown kernel {kernel!r}")
 
     def local_fn(sr_l, si_l, thr_sched):
         T_loc = sr_l.shape[-2]
@@ -140,6 +160,74 @@ def sharded_lws_sweeps(
 
         (sr_l, si_l), _ = lax.scan(one_iter, (sr_l, si_l), thr_sched)
         return sr_l, si_l
+
+    spec = P("data", "time", None) if sr.ndim == 3 else P("time", None)
+    fn = shard_map(local_fn, mesh=mesh, in_specs=(spec, spec, P()),
+                   out_specs=(spec, spec), check_vma=False)
+    return jax.jit(fn)(sr, si, thresholds)
+
+
+def _sharded_tiled(sr, si, st, thresholds, mesh, sweeps_per_exchange, pack,
+                   inner_passes, inner_scheme, interpret, right_perm,
+                   left_perm, T_total):
+    """Halo exchange (XLA ppermute) composed with the tiled Pallas kernel:
+    per round, exchange (Q-1)-frame boundary halos, then run
+    `sweeps_per_exchange` exact-order Gauss-Seidel sweeps on the local shard
+    with those halos frozen (ops/pallas_packed.py::tiled_lws_sweeps)."""
+    from ..ops.pallas_packed import tiled_lws_sweeps
+
+    Q, L = st.Q, st.L
+    F = st.n_bins
+    Q1 = Q - 1
+    n_time = mesh.shape["time"]
+    s = max(1, int(sweeps_per_exchange))
+    iters = int(thresholds.shape[0])
+    rounds, rem = divmod(iters, s)
+
+    def local_fn(sr_l, si_l, thr_sched):
+        idx = lax.axis_index("time")
+        amp = jnp.sqrt(sr_l * sr_l + si_l * si_l)
+        amp_sum = lax.psum(jnp.sum(amp, axis=(-2, -1)), "time")
+        mean_amp = amp_sum / (T_total * F)  # (B,) or scalar: global mean
+
+        # frozen stage-entry halos for the end shards (edge-frame replicas,
+        # matching the reference's extended-spec edges, lwslib.cpp:21-25)
+        reps = [1] * (sr_l.ndim - 2) + [Q1, 1]
+        frozen = {
+            "tr": jnp.tile(sr_l[..., :1, :], reps),
+            "ti": jnp.tile(si_l[..., :1, :], reps),
+            "br": jnp.tile(sr_l[..., -1:, :], reps),
+            "bi": jnp.tile(si_l[..., -1:, :], reps),
+        }
+
+        def exchange(cr, ci):
+            halos = []
+            for x, ftop, fbot in ((cr, frozen["tr"], frozen["br"]),
+                                  (ci, frozen["ti"], frozen["bi"])):
+                from_left = lax.ppermute(x[..., -Q1:, :], "time", right_perm)
+                from_right = lax.ppermute(x[..., :Q1, :], "time", left_perm)
+                top = jnp.where(idx == 0, ftop, from_left)
+                bot = jnp.where(idx == n_time - 1, fbot, from_right)
+                halos.append((top, bot))
+            return halos[0][0], halos[1][0], halos[0][1], halos[1][1]
+
+        def run_block(cr, ci, thr_block):
+            top_r, top_i, bot_r, bot_i = exchange(cr, ci)
+            return tiled_lws_sweeps(
+                cr, ci, st, thr_block, micro=1, pack=pack,
+                inner_passes=inner_passes, inner_scheme=inner_scheme,
+                interpret=interpret,
+                halo=(top_r, top_i, bot_r, bot_i), mean_amp=mean_amp)
+
+        cr, ci = sr_l, si_l
+        if rounds:
+            def body(carry, thr_block):
+                return run_block(*carry, thr_block), None
+            (cr, ci), _ = lax.scan(body, (cr, ci),
+                                   thr_sched[:rounds * s].reshape(rounds, s))
+        if rem:
+            cr, ci = run_block(cr, ci, thr_sched[rounds * s:])
+        return cr, ci
 
     spec = P("data", "time", None) if sr.ndim == 3 else P("time", None)
     fn = shard_map(local_fn, mesh=mesh, in_specs=(spec, spec, P()),

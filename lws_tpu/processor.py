@@ -29,10 +29,8 @@ from . import stft as _stft
 from .core.batch import lws_sweeps
 from .core.online import rtisi_la
 from .core.stencil import make_stencil, merge, split
-from .ops.pallas_online import pallas_rtisi_la
-from .ops.pallas_packed import (packed_lws_sweeps, packed_rtisi_la,
-                                packed_supported, tiled_lws_sweeps)
-from .ops.pallas_stencil import pallas_lws_sweeps, pallas_supported
+from .ops.pallas_packed import (online_supported, packed_rtisi_la,
+                                tiled_lws_sweeps)
 from .weights import build_stencil, create_weights
 from .windows import (
     build_asymmetric_windows,
@@ -84,6 +82,7 @@ class LWS:
         dtype=None,
         order="gs",
         inner_passes=1,
+        inner_scheme=None,
         backend="auto",
         pallas_block=16,
         pallas_micro=1,
@@ -121,6 +120,7 @@ class LWS:
         self.use_simplifications = use_simplifications
         self.order = order
         self.inner_passes = int(inner_passes)
+        self.inner_scheme = inner_scheme  # resolved after Q is known
         self.backend = backend
         self.pallas_block = int(pallas_block)
         self.pallas_micro = int(pallas_micro)
@@ -138,6 +138,13 @@ class LWS:
         Qint, Qfloat = overlap_factor(self.fsize, self.fshift)
         self.Q = Qint if self.fsize % self.fshift == 0 else Qfloat
         self._Qi = Qint
+        if self.inner_scheme is None:
+            # Low-overlap stencils (Q <= 3) are the order-sensitive cases
+            # where in-frame Jacobi loses ~1 dB vs the reference's in-frame
+            # raster Gauss-Seidel; red-black x3 rounds restores (and for Q=2
+            # beats) the reference's information flow. For Q >= 4 plain
+            # Jacobi already matches the reference (QUALITY.md).
+            self.inner_scheme = "color2x3" if Qint <= 3 else "jacobi"
 
         if mode == "speech":
             nofuture_iterations = 0
@@ -175,23 +182,24 @@ class LWS:
         ]
 
         self._batch_xla = jax.jit(functools.partial(
-            lws_sweeps, st=self._st_batch, order=self.order, inner_passes=self.inner_passes))
+            lws_sweeps, st=self._st_batch, order=self.order,
+            inner_passes=self.inner_passes, inner_scheme=self.inner_scheme))
         self._nofuture_xla = jax.jit(
             functools.partial(lws_sweeps, st=self._st_nofuture, order=self.order))
         self._online_xla = jax.jit(functools.partial(
             rtisi_la, st_la=self._st_la, st_ai=self._st_nofuture, st_af=self._st_af,
-            inner_passes=self.inner_passes))
-        self._online_pallas = jax.jit(functools.partial(
-            pallas_rtisi_la, st_la=self._st_la, st_ai=self._st_nofuture,
-            st_af=self._st_af))
-        # online state must stay fully VMEM-resident -> capped at pack=4
-        self._online_pack = min(4, self.pallas_pack)
+            inner_passes=self.inner_passes, inner_scheme=self.inner_scheme))
+        # the online kernel streams state through a VMEM register window, so
+        # any T*F fits; only the 2+LA weight sets are VMEM-resident
+        self._online_pack = self.pallas_pack
         self._online_packed = jax.jit(functools.partial(
             packed_rtisi_la, st_la=self._st_la, st_ai=self._st_nofuture,
-            st_af=self._st_af, pack=self._online_pack))
+            st_af=self._st_af, pack=self._online_pack,
+            inner_scheme=self.inner_scheme))
         self._batch_tiled = jax.jit(functools.partial(
             tiled_lws_sweeps, st=self._st_batch, micro=self.pallas_micro,
-            pack=self.pallas_pack, inner_passes=self.inner_passes))
+            pack=self.pallas_pack, inner_passes=self.inner_passes,
+            inner_scheme=self.inner_scheme))
         self._nofuture_tiled = jax.jit(functools.partial(
             tiled_lws_sweeps, st=self._st_nofuture, micro=self.pallas_micro,
             pack=self.pallas_pack))
@@ -214,10 +222,11 @@ class LWS:
             raise ValueError("pallas backend requested but unsupported for this config")
         return ok
 
-    def _packed_ok(self, pair):
-        """Whether the fully-VMEM-resident online kernel fits (pack capped at 4)."""
-        T, F = pair[0].shape[-2], pair[0].shape[-1]
-        return packed_supported(T, F, self._Qi, self.L, self._online_pack)
+    def _online_ok(self, pair):
+        """Whether the streaming online kernel's weight sets fit VMEM."""
+        F = pair[0].shape[-1]
+        return online_supported(F, self._Qi, self.L, self.look_ahead,
+                                self._online_pack)
 
     def _xla_fallback(self, fn, sr, si, thresholds, st=None):
         """On TPU, the frame-sequential XLA scan compiles pathologically; when
@@ -244,19 +253,13 @@ class LWS:
     def _nofuture_fn(self, sr, si, thresholds):
         if self._use_pallas((sr, si)):
             return self._run_flat(self._nofuture_tiled, sr, si, thresholds)
-        return self._nofuture_xla(sr, si, thresholds=thresholds)
+        return self._xla_fallback(self._nofuture_xla, sr, si, thresholds,
+                                  st=self._st_nofuture)
 
     def _online_fn(self, sr, si, thresholds):
-        if self._use_pallas((sr, si)) and self.look_ahead <= 8:
-            if self._packed_ok((sr, si)):
-                return self._run_flat(self._online_packed, sr, si, thresholds)
-            T, F = sr.shape[-2], sr.shape[-1]
-            if pallas_supported(T, F, self._Qi, self.L):
-                return self._run_flat(self._online_pallas, sr, si, thresholds)
-            raise ValueError(
-                "online LWS: spectrogram too large for the VMEM-resident kernels; "
-                "process long streams with lws_tpu.StreamingLWS (chunked, constant "
-                "memory) or split along time")
+        if (self._use_pallas((sr, si)) and self.look_ahead <= 8
+                and self._online_ok((sr, si))):
+            return self._run_flat(self._online_packed, sr, si, thresholds)
         return self._online_xla(sr, si, thresholds=thresholds)
 
     @staticmethod

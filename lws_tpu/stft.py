@@ -49,9 +49,25 @@ def _stft_layout(n_samples: int, fsize: int, fshift: int, perfectrec: bool):
 
 
 def frame_signal(x: jnp.ndarray, fsize: int, fshift: int, M: int) -> jnp.ndarray:
-    """Gather (..., n) -> (..., M, fsize) frames at starts m*fshift."""
-    idx = np.arange(M)[:, None] * fshift + np.arange(fsize)[None, :]
-    return x[..., idx]
+    """(..., n) -> (..., M, fsize) frames at starts m*fshift.
+
+    Built from ceil(fsize/fshift) strided slice+reshape columns instead of a
+    gather: frame[m, k*fshift + r] == x[(m+k)*fshift + r], so column k is
+    x[k*fshift : k*fshift + M*fshift] viewed as (M, fshift). No (M, fsize)
+    index tensor exists anywhere — a gather formulation embeds one as a
+    program constant, which scales O(M*fsize) and breaks long signals
+    (a 10-minute 48 kHz STFT would carry a ~1 GB literal)."""
+    K = -(-fsize // fshift)
+    need = (M + K) * fshift
+    pad = need - x.shape[-1]
+    if pad > 0:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    lead = x.shape[:-1]
+    cols = [
+        x[..., k * fshift:(k + M) * fshift].reshape(lead + (M, fshift))
+        for k in range(K)
+    ]
+    return jnp.concatenate(cols, axis=-1)[..., :fsize]
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
@@ -91,11 +107,18 @@ def _istft_jit(sr, si, swin, fshift, fftsize, perfectrec):
     frames = jnp.fft.irfft(spec, n=fftsize, axis=-1)[..., :fsize]
     frames = frames * swin[:fsize].astype(sr.dtype)
 
+    # overlap-add via K shifted column sums (inverse of frame_signal's
+    # slice+reshape layout): no scatter and no O(M*fsize) index constant
     T = fshift * (M - 1) + fsize
-    idx = (np.arange(M)[:, None] * fshift + np.arange(fsize)[None, :]).reshape(-1)
-    flat = frames.reshape(frames.shape[:-2] + (M * fsize,))
-    signal = jnp.zeros(frames.shape[:-2] + (T,), dtype=sr.dtype)
-    signal = signal.at[..., idx].add(flat)
+    K = -(-fsize // fshift)
+    lead = frames.shape[:-2]
+    fpad = jnp.pad(frames, [(0, 0)] * len(lead) + [(0, 0), (0, K * fshift - fsize)])
+    total = (M + K) * fshift
+    signal = jnp.zeros(lead + (total,), dtype=sr.dtype)
+    for k in range(K):
+        seg = fpad[..., :, k * fshift:(k + 1) * fshift].reshape(lead + (M * fshift,))
+        signal = signal.at[..., k * fshift:(k + M) * fshift].add(seg)
+    signal = signal[..., :T]
 
     if perfectrec:
         residual = fsize % fshift

