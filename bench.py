@@ -165,12 +165,37 @@ def bench_longform(on_tpu):
                 shape=tuple(amp.shape), cons=(c0, c1))
 
 
+def bench_streaming(on_tpu):
+    """Real-time chunked serving: StreamingLWS.push_block, one device
+    dispatch per chunk (BASELINE config 3's 'real-time chunking' flavour;
+    the offline 'online' row above is the same algorithm batch-offline)."""
+    import jax.numpy as jnp
+    from lws_tpu import LWS
+    from lws_tpu.streaming import StreamingLWS
+    streams, secs, iters = (8, 5.0, 10) if on_tpu else (2, 1.0, 3)
+    chunk = 8000  # 0.5 s at 16 kHz
+    rng = np.random.default_rng(5)
+    x = make_batch(streams, int(secs * 16000), 16000, rng)
+    proc = LWS(512, 128, look_ahead=3, online_iterations=iters)
+    s = StreamingLWS(proc, iterations=iters, streams=streams)
+    # warm (compile the block step for this chunk's frame count)
+    s.push_block(x[:, :chunk])
+    s.reset()
+    t0 = time.time()
+    for i in range(0, x.shape[-1], chunk):
+        s.push_block(x[:, i:i + chunk])
+    wall = time.time() - t0
+    return dict(name="streaming", audio_s=streams * secs, wall=wall,
+                iters=iters, shape=(streams, int(secs * 16000)), cons=(None, None))
+
+
 BENCHES = {
     1: bench_batch,
     2: bench_pipeline,
     3: bench_online,
     4: bench_vocoder,
     5: bench_longform,
+    6: bench_streaming,
 }
 
 
@@ -186,7 +211,12 @@ def write_table(rows, backend):
         f.write("|---|---|---|---|---|---|\n")
         for r in rows:
             c0, c1 = r["cons"]
-            cons = f"{c0:.2f} → {c1:.2f}" if c0 is not None else f"→ {c1:.2f}"
+            if c1 is None:
+                cons = "—"
+            elif c0 is None:
+                cons = f"→ {c1:.2f}"
+            else:
+                cons = f"{c0:.2f} → {c1:.2f}"
             f.write(f"| {r['name']} | {r['shape']} | {r['iters']} | "
                     f"{r['wall']:.3f} | {r['audio_s'] / r['wall']:.0f} | "
                     f"{cons} |\n")
@@ -209,7 +239,12 @@ def main():
         r = BENCHES[idx](on_tpu)
         rows.append(r)
         c0, c1 = r["cons"]
-        cons = f"{c0:.2f}->{c1:.2f}" if c0 is not None else f"->{c1:.2f}"
+        if c1 is None:
+            cons = "n/a"
+        elif c0 is None:
+            cons = f"->{c1:.2f}"
+        else:
+            cons = f"{c0:.2f}->{c1:.2f}"
         print(f"[bench] {r['name']}: shape={r['shape']} iters={r['iters']} "
               f"wall={r['wall'] * 1000:.0f}ms "
               f"rate={r['audio_s'] / r['wall']:.0f} audio-s/s "

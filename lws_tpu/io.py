@@ -26,6 +26,14 @@ def read_wav(path, mono: bool = True):
         data = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
     elif width == 4:
         data = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    elif width == 3:
+        # 24-bit PCM: widen each little-endian triplet to int32 (<< 8 keeps
+        # the sign), then scale by 2^31
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        i32 = (b[:, 0].astype(np.uint32)
+               | (b[:, 1].astype(np.uint32) << 8)
+               | (b[:, 2].astype(np.uint32) << 16)) << 8
+        data = i32.astype(np.int32).astype(np.float64) / 2147483648.0
     elif width == 1:
         data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
     else:

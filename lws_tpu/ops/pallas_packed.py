@@ -26,7 +26,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.stencil import Stencil, _parse_colors
 
-__all__ = ["packed_lws_sweeps", "packed_rtisi_la", "packed_supported", "online_supported", "tiled_lws_sweeps"]
+__all__ = ["packed_lws_sweeps", "packed_rtisi_la", "packed_supported",
+           "online_supported", "tiled_lws_sweeps", "segmented_lws_sweeps"]
 
 
 def _cdiv(a, b):
@@ -743,13 +744,17 @@ def tiled_lws_sweeps(
     tile: int | None = None,
     inner_passes: int = 1,
     inner_scheme: str = "jacobi",
+    storage=None,
     interpret: bool = False,
     halo: tuple | None = None,
     mean_amp: jnp.ndarray | None = None,
 ):
     """Batch/no-future sweeps for arbitrary T: exact same frame order as
     packed_lws_sweeps, with the state streamed through VMEM in time tiles.
-    `tile=None` sizes the tile to the VMEM budget.
+    `tile=None` sizes the tile to the VMEM budget. `storage=jnp.bfloat16`
+    keeps the evolving planes and HBM slabs in bf16 (f32 compute): halves
+    HBM traffic and VMEM so the tile (and pack) can grow, at slightly
+    reduced numerical fidelity.
 
     `halo`, when given, is (top_r, top_i, bot_r, bot_i) of shape (B, Q-1, F):
     explicit frozen time-halo frames used instead of the default edge
@@ -774,13 +779,26 @@ def tiled_lws_sweeps(
         raise ValueError(f"packed kernel supports Q <= 9, got Q={Q}")
     iters = int(thresholds.shape[0])
     micro = max(1, int(micro))
-    P = int(pack)
+    # don't pack more utterances than the batch fills (rounded to the
+    # 8-sublane tile): dead sublane tiles would burn VPU cycles
+    P = min(int(pack), max(8, _cdiv(B, 8) * 8))
     if tile is None:
-        # 3 scratch planes (2 state + amp) within ~11 MB of VMEM; beyond
-        # ~128 rows locality stops helping (measured), so cap there
+        # Scratch planes (2 state + amp), weight tensors, and the register
+        # window must stay inside the 16 MB scoped VMEM with headroom for
+        # the compiler's staging. First size against 11 MB (beyond ~128
+        # rows locality stops helping, so cap there); if the full estimate
+        # exceeds 13 MB (observed OOM regime at pack*Fpad large), re-size
+        # conservatively against 8.5 MB minus the fixed allocations.
         fpad_ = _cdiv(F, 128) * 128
+        w_bytes = 2 * 2 * (2 * Q - 1) * (2 * L + 1) * F * 4  # r+i, 2x staged
+        win_bytes = 2 * (2 * Q - 1) * P * (fpad_ + 2 * L) * 4
         tile = max(micro, (11 * 2 ** 20) // (3 * P * fpad_ * 4) - 2 * (Q - 1))
         tile = min(tile, 128)
+        est = (3 * tile + 4 * (Q - 1)) * P * fpad_ * 4 + w_bytes + win_bytes
+        if est > 13 * 2 ** 20:
+            budget = 8 * 2 ** 20 + 2 ** 19 - w_bytes - win_bytes
+            tile = max(micro, budget // (3 * P * fpad_ * 4) - 2 * (Q - 1))
+            tile = min(tile, 128)
     TT = max(micro, (int(tile) // micro) * micro)
 
     amp = jnp.sqrt(sr * sr + si * si)
@@ -798,6 +816,9 @@ def tiled_lws_sweeps(
     n_tiles = _cdiv(T, TT)
     t_pad = n_tiles * TT - T
     Fpad = _cdiv(F, 128) * 128
+
+    sdt = storage or sr.dtype
+    out_dt = sr.dtype
 
     def to_slabs(a, with_halo, top_h=None, bot_h=None):
         # (B, T, F) -> (G, Q1 + T + t_pad + Q1, P, Fpad) with time halos
@@ -817,7 +838,7 @@ def tiled_lws_sweeps(
             a = jnp.concatenate([top, a, bot], axis=1)
         elif t_pad:
             a = jnp.pad(a, ((0, 0), (0, t_pad), (0, 0), (0, 0)))
-        return jnp.pad(a, ((0, 0), (0, 0), (0, 0), (0, Fpad - F)))
+        return jnp.pad(a, ((0, 0), (0, 0), (0, 0), (0, Fpad - F))).astype(sdt)
 
     if halo is None:
         sr_t = to_slabs(sr, True)
@@ -847,12 +868,12 @@ def tiled_lws_sweeps(
             hbm, hbm, hbm, wspec, wspec,
         ],
         out_specs=(hbm, hbm),
-        out_shape=(jax.ShapeDtypeStruct((G, rows_hbm, P, Fpad), sr.dtype),
-                   jax.ShapeDtypeStruct((G, rows_hbm, P, Fpad), si.dtype)),
+        out_shape=(jax.ShapeDtypeStruct((G, rows_hbm, P, Fpad), sdt),
+                   jax.ShapeDtypeStruct((G, rows_hbm, P, Fpad), sdt)),
         scratch_shapes=[
-            pltpu.VMEM((TT + 2 * Q1, P, Fpad), sr.dtype),
-            pltpu.VMEM((TT + 2 * Q1, P, Fpad), si.dtype),
-            pltpu.VMEM((TT, P, Fpad), sr.dtype),
+            pltpu.VMEM((TT + 2 * Q1, P, Fpad), sdt),
+            pltpu.VMEM((TT + 2 * Q1, P, Fpad), sdt),
+            pltpu.VMEM((TT, P, Fpad), sdt),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -862,10 +883,114 @@ def tiled_lws_sweeps(
       st.Wr[:, :, :F].astype(wdt), st.Wi[:, :, :F].astype(wdt))
 
     def from_slabs(a):  # strip halos + pads
-        a = a[:, Q1:Q1 + T, :, :F]
+        a = a[:, Q1:Q1 + T, :, :F].astype(out_dt)
         return jnp.moveaxis(a, 2, 1).reshape(G * P, T, F)[:B]
 
     osr, osi = from_slabs(osr), from_slabs(osi)
+    if squeeze:
+        osr, osi = osr[0], osi[0]
+    return osr, osi
+
+
+# ---------------------------------------------------------------------------
+# time-segmented single-/small-batch sweeps (sublane-utilisation recovery)
+# ---------------------------------------------------------------------------
+
+def segmented_lws_sweeps(
+    sr: jnp.ndarray,
+    si: jnp.ndarray,
+    st: Stencil,
+    thresholds: jnp.ndarray,
+    segments: int = 8,
+    sweeps_per_exchange: int = 1,
+    micro: int = 1,
+    pack: int = 16,
+    inner_passes: int = 1,
+    inner_scheme: str = "jacobi",
+    storage=None,
+    interpret: bool = False,
+):
+    """Batch/no-future sweeps with each utterance's time axis split into
+    `segments` virtual utterances that fill the sublane pack.
+
+    A single long spectrogram runs the tiled kernel at 1/P sublane
+    utilisation (the other P-1 lanes are padding). Splitting time into S
+    segments processed as S packed utterances recovers full vector width;
+    cross-segment information flows through a (Q-1)-frame halo exchange
+    every `sweeps_per_exchange` sweeps — the single-chip analogue of the
+    mesh time-sharding in parallel/sharding.py (same block-Jacobi-at-seams
+    semantics, same frozen stage-entry edge halos at the true boundaries).
+
+    T is padded to a segment multiple with edge-frame replicas; the padded
+    tail frames live in the last segment, update like ordinary frames, and
+    are discarded on return (the reference's frozen-edge semantics apply at
+    the true signal edges only).
+    """
+    if thresholds.shape[0] == 0:
+        return sr, si
+    squeeze = sr.ndim == 2
+    if squeeze:
+        sr, si = sr[None], si[None]
+    B, T, F = sr.shape
+    Q = st.Q
+    Q1 = Q - 1
+    S = max(1, int(segments))
+    Tseg = _cdiv(T, S)
+    if Tseg < max(Q1, 1) * 2:
+        raise ValueError(f"segments={S} leaves {Tseg} frames/segment; need >= {2 * Q1}")
+    iters = int(thresholds.shape[0])
+    s_ex = max(1, int(sweeps_per_exchange))
+    rounds, rem = divmod(iters, s_ex)
+
+    t_pad = S * Tseg - T
+    if t_pad:
+        tail = jnp.tile(sr[:, -1:], (1, t_pad, 1))
+        sr = jnp.concatenate([sr, tail], axis=1)
+        si = jnp.concatenate([si, jnp.tile(si[:, -1:], (1, t_pad, 1))], axis=1)
+
+    amp_mean = jnp.mean(jnp.sqrt(sr[:, :T] ** 2 + si[:, :T] ** 2), axis=(-2, -1))
+    mean_seg = jnp.repeat(amp_mean, S)  # (B*S,): reference whole-signal mean
+
+    seg_r = sr.reshape(B * S, Tseg, F)
+    seg_i = si.reshape(B * S, Tseg, F)
+
+    # frozen stage-entry halos for the true boundaries of each utterance
+    frozen_top_r = jnp.repeat(jnp.tile(sr[:, :1], (1, Q1, 1)), S, axis=0)
+    frozen_top_i = jnp.repeat(jnp.tile(si[:, :1], (1, Q1, 1)), S, axis=0)
+    frozen_bot_r = jnp.repeat(jnp.tile(sr[:, -1:], (1, Q1, 1)), S, axis=0)
+    frozen_bot_i = jnp.repeat(jnp.tile(si[:, -1:], (1, Q1, 1)), S, axis=0)
+    first = (jnp.arange(B * S) % S == 0)[:, None, None]
+    last = (jnp.arange(B * S) % S == S - 1)[:, None, None]
+
+    def exchange(cr, ci):
+        # live halos from same-utterance neighbour segments (roll over the
+        # segment axis never crosses utterances thanks to the first/last
+        # masks selecting the frozen halos there)
+        top_r = jnp.where(first, frozen_top_r, jnp.roll(cr[:, -Q1:], 1, axis=0))
+        top_i = jnp.where(first, frozen_top_i, jnp.roll(ci[:, -Q1:], 1, axis=0))
+        bot_r = jnp.where(last, frozen_bot_r, jnp.roll(cr[:, :Q1], -1, axis=0))
+        bot_i = jnp.where(last, frozen_bot_i, jnp.roll(ci[:, :Q1], -1, axis=0))
+        return top_r, top_i, bot_r, bot_i
+
+    def run_block(cr, ci, thr_block):
+        halo = exchange(cr, ci)
+        return tiled_lws_sweeps(
+            cr, ci, st, thr_block, micro=micro, pack=pack,
+            inner_passes=inner_passes, inner_scheme=inner_scheme,
+            storage=storage, interpret=interpret, halo=halo,
+            mean_amp=mean_seg)
+
+    cr, ci = seg_r, seg_i
+    if rounds:
+        def body(carry, thr_block):
+            return run_block(*carry, thr_block), None
+        (cr, ci), _ = jax.lax.scan(
+            body, (cr, ci), thresholds[:rounds * s_ex].reshape(rounds, s_ex))
+    if rem:
+        cr, ci = run_block(cr, ci, thresholds[rounds * s_ex:])
+
+    osr = cr.reshape(B, S * Tseg, F)[:, :T]
+    osi = ci.reshape(B, S * Tseg, F)[:, :T]
     if squeeze:
         osr, osi = osr[0], osi[0]
     return osr, osi

@@ -30,7 +30,7 @@ from .core.batch import lws_sweeps
 from .core.online import rtisi_la
 from .core.stencil import make_stencil, merge, split
 from .ops.pallas_packed import (online_supported, packed_rtisi_la,
-                                tiled_lws_sweeps)
+                                segmented_lws_sweeps, tiled_lws_sweeps)
 from .weights import build_stencil, create_weights
 from .windows import (
     build_asymmetric_windows,
@@ -86,7 +86,9 @@ class LWS:
         backend="auto",
         pallas_block=16,
         pallas_micro=1,
-        pallas_pack=8,
+        pallas_pack=16,
+        pallas_storage=None,
+        auto_segment=True,
     ):
         if isinstance(awin_or_fsize, (int, np.integer)):
             awin = default_window(int(awin_or_fsize), fshift, symmetric=symmetric_win)
@@ -125,6 +127,12 @@ class LWS:
         self.pallas_block = int(pallas_block)
         self.pallas_micro = int(pallas_micro)
         self.pallas_pack = int(pallas_pack)
+        # opt-in bf16 state storage for the batch/no-future tiled kernels:
+        # halves HBM traffic / VMEM at slightly reduced fidelity (compute
+        # stays f32); e.g. LWS(..., pallas_storage="bfloat16")
+        self.pallas_storage = (jnp.dtype(pallas_storage)
+                               if pallas_storage is not None else None)
+        self.auto_segment = bool(auto_segment)
         # Q=2 couples every frame to its direct neighbours; any within-group
         # parallel update destabilises the iteration (measured), so fall back
         # to exact frame-sequential order there.
@@ -190,8 +198,10 @@ class LWS:
             rtisi_la, st_la=self._st_la, st_ai=self._st_nofuture, st_af=self._st_af,
             inner_passes=self.inner_passes, inner_scheme=self.inner_scheme))
         # the online kernel streams state through a VMEM register window, so
-        # any T*F fits; only the 2+LA weight sets are VMEM-resident
-        self._online_pack = self.pallas_pack
+        # any T*F fits; only the 2+LA weight sets are VMEM-resident. Batch
+        # defaults to pack=16 (+12% measured, PERF.md); online keeps 8 (its
+        # per-frame iteration loop is deeper, VMEM window scales with pack)
+        self._online_pack = min(8, self.pallas_pack)
         self._online_packed = jax.jit(functools.partial(
             packed_rtisi_la, st_la=self._st_la, st_ai=self._st_nofuture,
             st_af=self._st_af, pack=self._online_pack,
@@ -199,10 +209,19 @@ class LWS:
         self._batch_tiled = jax.jit(functools.partial(
             tiled_lws_sweeps, st=self._st_batch, micro=self.pallas_micro,
             pack=self.pallas_pack, inner_passes=self.inner_passes,
-            inner_scheme=self.inner_scheme))
+            inner_scheme=self.inner_scheme, storage=self.pallas_storage))
         self._nofuture_tiled = jax.jit(functools.partial(
             tiled_lws_sweeps, st=self._st_nofuture, micro=self.pallas_micro,
-            pack=self.pallas_pack))
+            pack=self.pallas_pack, storage=self.pallas_storage))
+        self._batch_seg = jax.jit(functools.partial(
+            segmented_lws_sweeps, st=self._st_batch, micro=self.pallas_micro,
+            pack=self.pallas_pack, inner_passes=self.inner_passes,
+            inner_scheme=self.inner_scheme, storage=self.pallas_storage),
+            static_argnames=("segments", "sweeps_per_exchange"))
+        self._nofuture_seg = jax.jit(functools.partial(
+            segmented_lws_sweeps, st=self._st_nofuture, micro=self.pallas_micro,
+            pack=self.pallas_pack, storage=self.pallas_storage),
+            static_argnames=("segments", "sweeps_per_exchange"))
 
     def _use_pallas(self, pair):
         """Use the Pallas kernels when they apply.
@@ -243,8 +262,35 @@ class LWS:
             return jfn(sr, si, thresholds=thresholds)
         return fn(sr, si, thresholds=thresholds)
 
+    def _auto_segments(self, sr):
+        """Time segments for long, sublane-underfilled workloads.
+
+        A single 10-min spectrogram runs the tiled kernel at 1/pack sublane
+        utilisation; splitting time into S virtual utterances with per-sweep
+        halo exchange recovers full width (6x measured on the long-form
+        config, PERF.md) at quality parity. Only kicks in when the batch
+        leaves the pack underfilled AND segments stay >= 2048 frames, so
+        ordinary workloads keep the exact unsegmented order."""
+        if not self.auto_segment:
+            return 1
+        B = 1 if sr.ndim == 2 else int(np.prod(sr.shape[:-2]))
+        T = sr.shape[-2]
+        free = self.pallas_pack // max(1, B)
+        if free < 2:
+            return 1
+        # S capped at 8: one full sublane tile per segment group; S=16
+        # shrinks the VMEM time-tiles enough to lose the gain (PERF.md)
+        return max(1, min(free, 8, T // 2048))
+
     def _batch_fn(self, sr, si, thresholds):
         if self._use_pallas((sr, si)):
+            S = self._auto_segments(sr)
+            if S > 1:
+                # 4 sweeps per halo exchange: quality-equivalent, ~20%
+                # faster than per-sweep exchange (PERF.md)
+                fn = functools.partial(self._batch_seg, segments=S,
+                                       sweeps_per_exchange=4)
+                return self._run_flat(fn, sr, si, thresholds)
             # the time-tiled kernel streams state through VMEM, so the wide
             # pack fits regardless of T (a single tile when T is small)
             return self._run_flat(self._batch_tiled, sr, si, thresholds)
@@ -252,6 +298,11 @@ class LWS:
 
     def _nofuture_fn(self, sr, si, thresholds):
         if self._use_pallas((sr, si)):
+            S = self._auto_segments(sr)
+            if S > 1:
+                fn = functools.partial(self._nofuture_seg, segments=S,
+                                       sweeps_per_exchange=4)
+                return self._run_flat(fn, sr, si, thresholds)
             return self._run_flat(self._nofuture_tiled, sr, si, thresholds)
         return self._xla_fallback(self._nofuture_xla, sr, si, thresholds,
                                   st=self._st_nofuture)
@@ -274,15 +325,18 @@ class LWS:
 
     # ---------------- analysis / synthesis ----------------
 
-    def stft(self, x):
-        """STFT -> host complex array (reference-compatible)."""
+    def stft(self, x, framepadding=False):
+        """STFT -> host complex array (reference-compatible; framepadding
+        mirrors matlab/stft.m:43-46)."""
         return _stft.stft(x, self.fsize, self.fshift, self.awin,
-                          fftsize=self.fftsize, perfectrec=self.perfectrec)
+                          fftsize=self.fftsize, perfectrec=self.perfectrec,
+                          framepadding=framepadding)
 
-    def stft_ri(self, x):
+    def stft_ri(self, x, framepadding=False):
         """STFT -> (sr, si) device pair (zero-copy pipeline path)."""
         return _stft.stft_ri(x, self.fsize, self.fshift, self.awin,
-                             fftsize=self.fftsize, perfectrec=self.perfectrec)
+                             fftsize=self.fftsize, perfectrec=self.perfectrec,
+                             framepadding=framepadding)
 
     def istft(self, S):
         # swin is already normalised for perfect reconstruction at construction

@@ -2,8 +2,9 @@
 
 TPU-first redesign of the reference analysis-synthesis loop
 (python/lws.pyx:43-144): instead of a Python loop of per-frame np.fft calls,
-signals are framed with one gather and transformed with a single batched
-jnp.fft.rfft / irfft over (..., M, fsize); overlap-add uses a scatter-add.
+signals are framed with strided slice+reshape columns (no index tensors) and
+transformed with a single batched jnp.fft.rfft / irfft over (..., M, fsize);
+overlap-add is K shifted column sums (no scatter).
 All functions accept arbitrary leading batch dimensions (the reference Python
 binding is mono-only, python/lws.pyx:46-47; the MATLAB binding is
 multi-channel, matlab/stft.m:27-29 - here batching is native).
@@ -81,21 +82,32 @@ def _stft_jit(x, awin, fsize, fshift, fftsize, perfectrec):
     return jnp.real(spec), jnp.imag(spec)
 
 
-def stft_ri(x, fsize, fshift, awin, fftsize=None, perfectrec=False):
-    """Batched STFT: (..., n) real -> split pair of (..., M, fftsize//2+1)."""
+def stft_ri(x, fsize, fshift, awin, fftsize=None, perfectrec=False,
+            framepadding=False):
+    """Batched STFT: (..., n) real -> split pair of (..., M, fftsize//2+1).
+
+    `framepadding=True` zero-pads (Q-1)*fshift samples on BOTH sides before
+    framing, so boundary samples receive full overlap-add coverage (the
+    MATLAB binding's opts.framepadding, matlab/stft.m:43-46; independent of
+    the perfectrec alignment padding)."""
     if fftsize is None:
         fftsize = fsize
     if fftsize % 2 == 1:
         raise ValueError("Odd ffts not supported.")
     x = jnp.asarray(x)
+    if framepadding:
+        Q = -(-int(fsize) // int(fshift))
+        pad = (Q - 1) * int(fshift)
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)])
     return _stft_jit(x, jnp.asarray(awin), int(fsize), int(fshift), int(fftsize),
                      bool(perfectrec))
 
 
-def stft(x, fsize, fshift, awin, fftsize=None, perfectrec=False) -> np.ndarray:
+def stft(x, fsize, fshift, awin, fftsize=None, perfectrec=False,
+         framepadding=False) -> np.ndarray:
     """Batched STFT returning a host complex array (reference signature,
-    python/lws.pyx:43-90)."""
-    sr, si = stft_ri(x, fsize, fshift, awin, fftsize, perfectrec)
+    python/lws.pyx:43-90; framepadding from matlab/stft.m:43-46)."""
+    sr, si = stft_ri(x, fsize, fshift, awin, fftsize, perfectrec, framepadding)
     return np.asarray(sr) + 1j * np.asarray(si)
 
 

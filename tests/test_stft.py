@@ -78,3 +78,43 @@ def test_wav_io_roundtrip(tmp_path):
     write_wav(p, np.stack([x, -x]), sr, normalize=False)
     y2, _ = read_wav(p)
     assert np.abs(y2).max() < 1e-4  # (x + -x)/2
+
+
+def test_framepadding_option(golden_q4):
+    """framepadding=True zero-pads (Q-1)*fshift both sides before framing
+    (matlab/stft.m:43-46): adds 2*(Q-1) frames and embeds the unpadded
+    frames in the middle."""
+    from lws_tpu import LWS
+    g = golden_q4
+    p = LWS(int(g.fsize), int(g.fshift), L=int(g.L), dtype=jnp.float64,
+            perfectrec=False)
+    x = np.asarray(g.x)[: 40 * int(g.fshift) + int(g.fsize)]
+    Q = p._Qi
+    S0 = p.stft(x)
+    S1 = p.stft(x, framepadding=True)
+    assert S1.shape[0] == S0.shape[0] + 2 * (Q - 1)
+    np.testing.assert_allclose(S1[Q - 1:Q - 1 + S0.shape[0]], S0,
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_24bit_wav_roundtrip(tmp_path):
+    """24-bit PCM WAV read support (reference's MATLAB audioread handles it)."""
+    import wave
+    from lws_tpu.io import read_wav
+    rng = np.random.default_rng(5)
+    x = np.clip(rng.standard_normal(1000) * 0.3, -1, 1)
+    i32 = (x * 2147483647).astype(np.int64).astype(np.int32)
+    b = np.zeros((1000, 3), np.uint8)
+    u = i32.view(np.uint32)
+    b[:, 0] = (u >> 8) & 0xFF
+    b[:, 1] = (u >> 16) & 0xFF
+    b[:, 2] = (u >> 24) & 0xFF
+    path = tmp_path / "t24.wav"
+    with wave.open(str(path), "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(3)
+        f.setframerate(16000)
+        f.writeframes(b.tobytes())
+    y, sr = read_wav(path)
+    assert sr == 16000
+    np.testing.assert_allclose(y, x, atol=2 ** -23)
