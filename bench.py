@@ -166,9 +166,13 @@ def bench_longform(on_tpu):
 
 
 def bench_streaming(on_tpu):
-    """Real-time chunked serving: StreamingLWS.push_block, one device
-    dispatch per chunk (BASELINE config 3's 'real-time chunking' flavour;
-    the offline 'online' row above is the same algorithm batch-offline)."""
+    """Real-time chunked serving: StreamingLWS.push_block through the
+    chunked Pallas register-window kernel (framing/STFT/OLA on device, raw
+    samples in, committed audio out; BASELINE config 3's 'real-time
+    chunking' flavour - the offline 'online' row above is the same algorithm
+    batch-offline). Device emission pipelines the chunk dispatches; the
+    final materialisation is inside the timed region. Median of 3 runs
+    (remote-tunnel dispatch latency is noisy)."""
     import jax.numpy as jnp
     from lws_tpu import LWS
     from lws_tpu.streaming import StreamingLWS
@@ -177,16 +181,35 @@ def bench_streaming(on_tpu):
     rng = np.random.default_rng(5)
     x = make_batch(streams, int(secs * 16000), 16000, rng)
     proc = LWS(512, 128, look_ahead=3, online_iterations=iters)
-    s = StreamingLWS(proc, iterations=iters, streams=streams)
-    # warm (compile the block step for this chunk's frame count)
-    s.push_block(x[:, :chunk])
+    s = StreamingLWS(proc, iterations=iters, streams=streams, emit="device")
+
+    def run():
+        s.reset()
+        outs = []
+        for i in range(0, x.shape[-1], chunk):
+            outs.append(s.push_block(x[:, i:i + chunk]))
+        outs.append(s.flush())
+        return np.asarray(jnp.concatenate(
+            [jnp.asarray(o) for o in outs if o.shape[-1]], axis=-1))
+
+    run()  # compile warm-up
+    walls = []
+    for _ in range(3):
+        t0 = time.time()
+        run()
+        walls.append(time.time() - t0)
+    wall = float(np.median(walls))
+    # quality check (untimed): consistency of the committed spectrogram
+    # (reuse the compiled stream; keep_frames only toggles host retention)
     s.reset()
-    t0 = time.time()
+    s.keep_frames = True
     for i in range(0, x.shape[-1], chunk):
         s.push_block(x[:, i:i + chunk])
-    wall = time.time() - t0
+    s.flush()
+    com = np.stack(s.committed_frames, axis=1)  # (S, T, F)
+    c1 = float(np.asarray(proc.get_consistency(com)).mean())
     return dict(name="streaming", audio_s=streams * secs, wall=wall,
-                iters=iters, shape=(streams, int(secs * 16000)), cons=(None, None))
+                iters=iters, shape=(streams, int(secs * 16000)), cons=(None, c1))
 
 
 BENCHES = {

@@ -27,7 +27,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.stencil import Stencil, _parse_colors
 
 __all__ = ["packed_lws_sweeps", "packed_rtisi_la", "packed_supported",
-           "online_supported", "tiled_lws_sweeps", "segmented_lws_sweeps"]
+           "online_supported", "tiled_lws_sweeps", "segmented_lws_sweeps",
+           "online_chunk", "online_chunk_init"]
 
 
 def _cdiv(a, b):
@@ -371,28 +372,11 @@ def online_supported(F: int, Q: int, L: int, LA: int, pack: int = 8,
     return weights + window < vmem_budget
 
 
-def _online_kernel(thr_ref, mean_ref, sr_hbm, si_hbm, wr_ref, wi_ref,
-                   osr_hbm, osi_hbm, row_r, row_i, stage_r, stage_i, sem,
-                   *, T, F, Q, L, LA, iters, nzs, inner_scheme, P):
-    """One program = P utterances, streaming over frames: per step one input
-    row is DMA'd from HBM, the amplitude is computed in-kernel into a carried
-    (LA+1)-row window, the evolving phase state lives in a sliding register
-    window, and the committed row streams straight back to HBM (the output
-    slab aliases the input). VMEM use is independent of T, so any
-    spectrogram length runs (the reference TF_RTISI_LA, lwslib.cpp:1424-1492,
-    likewise works at any size)."""
-    W = LA + Q
-    WR = W + Q - 1
-    g = pl.program_id(0)
-    mean_amp = mean_ref[0]  # (P, 1)
-    cdt = jnp.promote_types(row_r.dtype, jnp.float32)
-    big = jnp.asarray(3.4e38, cdt)
-
-    def load_row(mc):
-        _dma(sr_hbm.at[g, pl.ds(mc, 1)], row_r.at[:], sem)
-        _dma(si_hbm.at[g, pl.ds(mc, 1)], row_i.at[:], sem)
-        return (row_r[:][..., :F].astype(cdt), row_i[:][..., :F].astype(cdt))
-
+def _online_row_update_fns(wr_ref, wi_ref, nzs, Q, L, F, P, inner_scheme):
+    """Shared machinery of the streaming online kernels: `set_row` replaces
+    one static row of a carried (rows, P, F+2L) window; `row_update` applies
+    one visibility-masked stencil update (weight set `w_set`) to window row
+    `idx`, re-extending the frequency halo in place."""
     def set_row(arr, row, idx):
         parts = []
         if idx > 0:
@@ -435,6 +419,34 @@ def _online_kernel(thr_ref, mean_ref, sr_hbm, si_hbm, wr_ref, wi_ref,
             new_i = jnp.where(cond, ti * scale, old_i)
             er, ei = _freq_halo(new_r, new_i, F, L)
         return set_row(win_r, er, idx), set_row(win_i, ei, idx)
+
+    return set_row, row_update
+
+
+def _online_kernel(thr_ref, mean_ref, sr_hbm, si_hbm, wr_ref, wi_ref,
+                   osr_hbm, osi_hbm, row_r, row_i, stage_r, stage_i, sem,
+                   *, T, F, Q, L, LA, iters, nzs, inner_scheme, P):
+    """One program = P utterances, streaming over frames: per step one input
+    row is DMA'd from HBM, the amplitude is computed in-kernel into a carried
+    (LA+1)-row window, the evolving phase state lives in a sliding register
+    window, and the committed row streams straight back to HBM (the output
+    slab aliases the input). VMEM use is independent of T, so any
+    spectrogram length runs (the reference TF_RTISI_LA, lwslib.cpp:1424-1492,
+    likewise works at any size)."""
+    W = LA + Q
+    WR = W + Q - 1
+    g = pl.program_id(0)
+    mean_amp = mean_ref[0]  # (P, 1)
+    cdt = jnp.promote_types(row_r.dtype, jnp.float32)
+    big = jnp.asarray(3.4e38, cdt)
+
+    def load_row(mc):
+        _dma(sr_hbm.at[g, pl.ds(mc, 1)], row_r.at[:], sem)
+        _dma(si_hbm.at[g, pl.ds(mc, 1)], row_i.at[:], sem)
+        return (row_r[:][..., :F].astype(cdt), row_i[:][..., :F].astype(cdt))
+
+    _, row_update = _online_row_update_fns(
+        wr_ref, wi_ref, nzs, Q, L, F, P, inner_scheme)
 
     newest = W - 1
 
@@ -572,6 +584,201 @@ def packed_rtisi_la(
     if squeeze:
         osr, osi = osr[0], osi[0]
     return osr, osi
+
+
+# ---------------------------------------------------------------------------
+# chunked streaming online (RTISI-LA with carried state)
+# ---------------------------------------------------------------------------
+
+def _online_chunk_kernel(thr_ref, nlive_ref, mean_ref, sr_hbm, si_hbm,
+                         wr_ref, wi_ref, w0r_ref, w0i_ref, aw0_ref,
+                         osr_hbm, osi_hbm, wor_ref, woi_ref, awo_ref,
+                         row_r, row_i, stage_r, stage_i, sem,
+                         *, N, F, Q, L, LA, iters, nzs, inner_scheme, P):
+    """Chunked variant of `_online_kernel`: processes N frames starting from
+    a caller-provided sliding-window state and returns the final state, so a
+    live stream advances in one kernel dispatch per chunk (StreamingLWS
+    push_block). Output row m holds the commit of absolute frame
+    (frames_seen + m - LA); the host discards rows from before the look-ahead
+    pipeline filled. Frames m >= n_live are drain steps (amp 0, thresholds
+    maxed): the pipeline shifts and commits but no update runs, matching the
+    offline kernel's tail drain."""
+    W = LA + Q
+    WR = W + Q - 1
+    E = F + 2 * L
+    g = pl.program_id(0)
+    n_live = nlive_ref[0]
+    cdt = jnp.promote_types(row_r.dtype, jnp.float32)
+    big = jnp.asarray(3.4e38, cdt)
+
+    def load_row(mc):
+        _dma(sr_hbm.at[g, pl.ds(mc, 1)], row_r.at[:], sem)
+        _dma(si_hbm.at[g, pl.ds(mc, 1)], row_i.at[:], sem)
+        return (row_r[:][..., :F].astype(cdt), row_i[:][..., :F].astype(cdt))
+
+    _, row_update = _online_row_update_fns(
+        wr_ref, wi_ref, nzs, Q, L, F, P, inner_scheme)
+
+    newest = W - 1
+
+    def frame_step(m, carry):
+        win_r, win_i, ampw = carry
+        live = m < n_live
+        rr, ri = load_row(m)
+        amp_new = jnp.where(live, jnp.sqrt(rr * rr + ri * ri), 0.0)
+        ampw = jnp.concatenate([ampw[1:], amp_new], axis=0)
+        fr_, fi_ = _freq_halo(rr, ri, F, L)
+        win_r = jnp.concatenate([win_r[1:W], fr_, win_r[W:]], axis=0)
+        win_i = jnp.concatenate([win_i[1:W], fi_, win_i[W:]], axis=0)
+
+        amp_m = ampw[LA:LA + 1]
+        mean_m = mean_ref[0, m]  # (P, 1) running (or fixed) mean at frame m
+        thr0 = jnp.where(live, jnp.zeros((), cdt), big)
+        win_r, win_i = row_update(win_r, win_i, newest, 0, thr0, amp_m)
+
+        def h_body(h, wcar):
+            wr_, wi_ = wcar
+            thr = jnp.where(live, thr_ref[h] * mean_m, big)
+            for d in range(LA, 0, -1):
+                wr_, wi_ = row_update(wr_, wi_, newest - d, 2 + (d - 1), thr,
+                                      ampw[LA - d:LA - d + 1])
+            return row_update(wr_, wi_, newest, 1, thr, amp_m)
+
+        win_r, win_i = jax.lax.fori_loop(0, iters, h_body, (win_r, win_i))
+
+        # the frame leaving the look-ahead window commits to output row m
+        stage_r[:, :, :F] = win_r[newest - LA:newest - LA + 1, :, L:L + F].astype(stage_r.dtype)
+        stage_i[:, :, :F] = win_i[newest - LA:newest - LA + 1, :, L:L + F].astype(stage_i.dtype)
+        _dma(stage_r.at[:], osr_hbm.at[g, pl.ds(m, 1)], sem)
+        _dma(stage_i.at[:], osi_hbm.at[g, pl.ds(m, 1)], sem)
+        return win_r, win_i, ampw
+
+    win_r0 = w0r_ref[0][..., :E].astype(cdt)
+    win_i0 = w0i_ref[0][..., :E].astype(cdt)
+    ampw0 = aw0_ref[0][..., :F].astype(cdt)
+    win_r, win_i, ampw = jax.lax.fori_loop(
+        0, N, frame_step, (win_r0, win_i0, ampw0), unroll=False)
+
+    pad_e = w0r_ref.shape[-1] - E
+    pad_f = aw0_ref.shape[-1] - F
+    wor_ref[0] = jnp.pad(win_r, ((0, 0), (0, 0), (0, pad_e))).astype(wor_ref.dtype)
+    woi_ref[0] = jnp.pad(win_i, ((0, 0), (0, 0), (0, pad_e))).astype(woi_ref.dtype)
+    awo_ref[0] = jnp.pad(ampw, ((0, 0), (0, 0), (0, pad_f))).astype(awo_ref.dtype)
+
+
+def online_chunk_init(B, st_la, st_af, fr0, fi0, pack: int = 8):
+    """Initial chunked-stream state from the first frame of each stream:
+    the window is filled with replicas of the frequency-extended first frame
+    (extspec edge semantics, lwslib.cpp:21-25) and the amplitude window with
+    zeros (pre-start frames never update). fr0/fi0: (B, F)."""
+    Q, L, LA = st_af.Q, st_af.L, len(st_la)
+    WR = LA + 2 * Q - 1
+    F = fr0.shape[-1]
+    P = int(pack)
+    b_pad = (-B) % P
+    Epad = _cdiv(F + 2 * L, 128) * 128
+    Fpad = _cdiv(F, 128) * 128
+    if b_pad:
+        fr0 = jnp.pad(fr0, ((0, b_pad), (0, 0)))
+        fi0 = jnp.pad(fi0, ((0, b_pad), (0, 0)))
+    G = (B + b_pad) // P
+    er, ei = _freq_halo(fr0, fi0, F, L)
+    er = jnp.pad(er, ((0, 0), (0, Epad - (F + 2 * L)))).reshape(G, P, Epad)
+    ei = jnp.pad(ei, ((0, 0), (0, Epad - (F + 2 * L)))).reshape(G, P, Epad)
+    w0r = jnp.tile(er[:, None], (1, WR, 1, 1))
+    w0i = jnp.tile(ei[:, None], (1, WR, 1, 1))
+    aw0 = jnp.zeros((G, LA + 1, P, Fpad), fr0.dtype)
+    return w0r, w0i, aw0
+
+
+def online_chunk(sr, si, state, means, st_la, st_ai, st_af, thresholds,
+                 n_live=None, pack: int = 8, inner_scheme: str = "jacobi",
+                 interpret: bool = False):
+    """Advance a chunked online stream by the frames in `sr`/`si` (B, N, F).
+
+    `state` is the (w0r, w0i, aw0) tuple from `online_chunk_init` or a prior
+    call; `means` (B, N) gives the threshold scale in effect at each frame
+    (running mean of input magnitudes, or a fixed mean for offline parity).
+    Returns (committed_r, committed_i, new_state): committed row m of stream
+    b holds the final value of absolute frame seen+m-LA (the caller drops
+    rows from before the pipeline filled). Set `n_live` < N to mark trailing
+    drain frames (flush); n_live may be a traced scalar so one compiled
+    program serves both live blocks and the flush tail."""
+    B, N, F = sr.shape
+    Q, L = st_af.Q, st_af.L
+    LA = len(st_la)
+    if Q - 1 > 8 or LA > 8:
+        raise ValueError("chunked online kernel supports Q <= 9 and LA <= 8")
+    iters = int(thresholds.shape[0])
+    P = int(pack)
+    if n_live is None:
+        n_live = N
+
+    b_pad = (-B) % P
+    if b_pad:
+        pad3 = ((0, b_pad), (0, 0), (0, 0))
+        sr, si = jnp.pad(sr, pad3), jnp.pad(si, pad3)
+        means = jnp.pad(means, ((0, b_pad), (0, 0)))
+    G = (B + b_pad) // P
+    Fpad = _cdiv(F, 128) * 128
+
+    def to_slabs(a):
+        a = jnp.moveaxis(a.reshape(G, P, N, F), 1, 2)
+        return jnp.pad(a, ((0, 0), (0, 0), (0, 0), (0, Fpad - F)))
+
+    sr_t, si_t = to_slabs(sr), to_slabs(si)
+    mean_t = jnp.moveaxis(means.reshape(G, P, N), 1, 2)[..., None]  # (G,N,P,1)
+    w0r, w0i, aw0 = state
+
+    sets = [st_ai, st_af] + list(st_la)
+    wdt = jnp.promote_types(sr.dtype, jnp.float32)
+    wrs = jnp.stack([s.Wr[:, :, :F].astype(wdt) for s in sets])
+    wis = jnp.stack([s.Wi[:, :, :F].astype(wdt) for s in sets])
+    nzs = [s.nz for s in sets]
+
+    kern = functools.partial(_online_chunk_kernel, N=N, F=F, Q=Q, L=L, LA=LA,
+                             inner_scheme=inner_scheme, iters=iters, nzs=nzs,
+                             P=P)
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    wspec = pl.BlockSpec(wrs.shape, lambda g: (0, 0, 0, 0), memory_space=pltpu.VMEM)
+
+    def gblock(a):
+        return pl.BlockSpec((1,) + a.shape[1:], lambda g: (g,) + (0,) * (a.ndim - 1),
+                            memory_space=pltpu.VMEM)
+
+    osr, osi, wor, woi, awo = pl.pallas_call(
+        kern,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            gblock(mean_t), hbm, hbm, wspec, wspec,
+            gblock(w0r), gblock(w0i), gblock(aw0),
+        ],
+        out_specs=(hbm, hbm, gblock(w0r), gblock(w0i), gblock(aw0)),
+        out_shape=(jax.ShapeDtypeStruct((G, N, P, Fpad), sr.dtype),
+                   jax.ShapeDtypeStruct((G, N, P, Fpad), si.dtype),
+                   jax.ShapeDtypeStruct(w0r.shape, w0r.dtype),
+                   jax.ShapeDtypeStruct(w0i.shape, w0i.dtype),
+                   jax.ShapeDtypeStruct(aw0.shape, aw0.dtype)),
+        scratch_shapes=[
+            pltpu.VMEM((1, P, Fpad), sr.dtype),
+            pltpu.VMEM((1, P, Fpad), si.dtype),
+            pltpu.VMEM((1, P, Fpad), sr.dtype),
+            pltpu.VMEM((1, P, Fpad), si.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        input_output_aliases={3: 0, 4: 1},
+        interpret=interpret,
+    )(thresholds.astype(sr.dtype),
+      jnp.reshape(jnp.asarray(n_live, jnp.int32), (1,)), mean_t, sr_t, si_t,
+      wrs, wis, w0r, w0i, aw0)
+
+    def from_slabs(a):
+        return jnp.moveaxis(a[..., :F], 2, 1).reshape(G * P, N, F)[:B]
+
+    return from_slabs(osr), from_slabs(osi), (wor, woi, awo)
 
 
 # ---------------------------------------------------------------------------

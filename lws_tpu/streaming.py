@@ -46,7 +46,9 @@ class StreamingLWS:
     """
 
     def __init__(self, proc, iterations=None, thresholds=None, mean_amp=None,
-                 streams: int = 1, keep_frames: bool = False):
+                 streams: int = 1, keep_frames: bool = False,
+                 backend: str = "auto", interpret: bool = False,
+                 block_frames: int = 32, emit: str = "host"):
         self.streams = int(streams)
         # committed_frames retention is opt-in: a long-running stream would
         # otherwise accumulate every committed frame on the host without bound
@@ -69,9 +71,35 @@ class StreamingLWS:
         self.F = proc.fftsize // 2 + 1
         self.latency_frames = LA + 1
 
+        # "pallas" runs the chunked register-window kernel (one device
+        # dispatch per chunk, ops/pallas_packed.py::online_chunk); "xla" is
+        # the per-frame scan step (any dtype, the float64 test path)
+        if backend == "auto":
+            from .ops.pallas_packed import online_supported
+            backend = ("pallas" if jax.default_backend() != "cpu"
+                       and online_supported(self.F, Q, L, LA) else "xla")
+        self.backend = backend
+        self.interpret = bool(interpret)
+        # pallas backend: push_block consumes frames in fixed-size groups so
+        # every kernel dispatch reuses ONE compiled shape (a varying chunk
+        # size would otherwise recompile the kernel per chunk); remainder
+        # frames stay buffered until the next push or flush. block_frames=0
+        # disables quantisation (per-chunk compile).
+        self.block_frames = int(block_frames)
+        # emit="device" (pallas backend) returns committed audio as device
+        # arrays without forcing a host sync per chunk: dispatches pipeline
+        # and the caller fetches (np.asarray) when convenient - the serving
+        # mode when host<->device latency dominates
+        self.emit = emit
         self._step_fn = self._make_step()
         self._step = jax.jit(self._step_fn)
         self._block_step = jax.jit(self._make_block_step())
+        if self.backend == "pallas":
+            # state buffers are donated: the kernel writes the new window in
+            # place and the old state is dead after each call
+            from_ri, from_samples = self._make_chunk_fns()
+            self._chunk_fn = jax.jit(from_ri, donate_argnums=(2,))
+            self._chunk_sample_fn = jax.jit(from_samples, donate_argnums=(1,))
         self.reset()
 
     # ------------------------------------------------------------------
@@ -89,6 +117,8 @@ class StreamingLWS:
                       else (proc.fsize,))
         self._ola_tail = np.zeros(tail_shape)
         self._committed = 0
+        self._pl_state = None  # pallas backend: carried kernel window state
+        self._live_seen = 0  # frames pushed live (drain steps excluded)
         self.committed_frames: list = []
 
     # ------------------------------------------------------------------
@@ -188,6 +218,149 @@ class StreamingLWS:
 
         return block
 
+    def _make_chunk_fns(self):
+        """Build the pallas-backend device programs: a spectrogram-frame
+        entry (vocoder-style frame pushers) and a raw-sample entry (framing +
+        STFT + threshold-scale tracking all on device; the host only moves
+        raw audio bytes). Both share one core: the chunked register-window
+        kernel + device-side iFFT/OLA emission."""
+        from .ops.pallas_packed import online_chunk
+        proc = self.proc
+        fsize, fshift, fftsize = proc.fsize, proc.fshift, proc.fftsize
+        swin = np.asarray(proc.swin)[:fsize]
+        awin = np.asarray(proc.awin)
+        fixed = (None if self.mean_amp is None else
+                 np.broadcast_to(np.asarray(self.mean_amp, np.float64)
+                                 .reshape(-1), (self.streams,)))
+
+        def core(fr, fi, state, means, n_live, skip, end):
+            kstate, tail = state[:3], state[3]
+            cr, ci, new_k = online_chunk(
+                fr, fi, kstate, means, proc._st_la, proc._st_nofuture,
+                proc._st_af, self.thresholds, n_live=n_live, pack=8,
+                inner_scheme=proc.inner_scheme, interpret=self.interpret)
+            # device-side iFFT + OLA emission (one small audio transfer per
+            # chunk instead of two committed-plane transfers + host FFTs);
+            # rows outside [skip, end) are pipeline-fill / flush-padding
+            # garbage and are masked before they can pollute the overlap
+            B, n, _ = cr.shape
+            rows = jnp.arange(n)
+            valid = ((rows >= skip) & (rows < end)).astype(cr.dtype)
+            spec = (cr + 1j * ci) * valid[None, :, None]  # complex only in-jit
+            frames = jnp.fft.irfft(spec, n=fftsize, axis=-1)[..., :fsize]
+            frames = frames * jnp.asarray(swin, dtype=cr.dtype)
+            K = -(-fsize // fshift)
+            fpad = jnp.pad(frames, ((0, 0), (0, 0), (0, K * fshift - fsize)))
+            ws = jnp.zeros((B, (n + K) * fshift), cr.dtype)
+            ws = ws.at[:, :fsize].add(tail)
+            for k in range(K):
+                seg = fpad[:, :, k * fshift:(k + 1) * fshift].reshape(B, n * fshift)
+                ws = ws.at[:, k * fshift:(k + n) * fshift].add(seg)
+            audio = ws[:, :n * fshift]
+            new_tail = ws[:, n * fshift:n * fshift + fsize]
+            return audio, cr, ci, (*new_k, new_tail)
+
+        def from_ri(fr, fi, state, n_live, skip, end):
+            # fr/fi: (S, n, F). The threshold scale (running mean input
+            # magnitude, python/lws.pyx:361 adapted to a stream that cannot
+            # see the future) is carried on device as (amp_sum, count).
+            asum, cnt = state[4], state[5]
+            n = fr.shape[1]
+            fm = jnp.mean(jnp.sqrt(fr * fr + fi * fi), axis=-1)  # (S, n)
+            if fixed is None:
+                counts = (cnt + jnp.arange(1, n + 1, dtype=jnp.int32)).astype(fr.dtype)
+                means = (asum[:, None] + jnp.cumsum(fm, axis=1)) / counts
+            else:
+                means = jnp.broadcast_to(
+                    jnp.asarray(fixed, fr.dtype)[:, None], fm.shape)
+            audio, cr, ci, st = core(fr, fi, state, means, n_live, skip, end)
+            return audio, cr, ci, (*st, asum + jnp.sum(fm, axis=1), cnt + n)
+
+        def from_samples(x, state, n_live, skip, end):
+            # x: (S, (n-1)*fshift + fsize) raw samples
+            n = (x.shape[-1] - (fsize - fshift)) // fshift
+            frames = jnp.stack(
+                [x[:, j * fshift:j * fshift + fsize] for j in range(n)], axis=1)
+            spec = jnp.fft.rfft(frames * jnp.asarray(awin, x.dtype),
+                                n=fftsize, axis=-1)
+            return from_ri(spec.real.astype(x.dtype), spec.imag.astype(x.dtype),
+                           state, n_live, skip, end)
+
+        return from_ri, from_samples
+
+    def _ensure_pl_state(self, fr0, fi0):
+        """First-frame state: window replicas of the frequency-extended first
+        frame (extspec edge semantics), zero OLA tail and mean totals."""
+        from .ops.pallas_packed import online_chunk_init
+        proc = self.proc
+        S = self.streams
+        tail = jnp.zeros((S, proc.fsize), dtype=proc.rdtype)
+        asum = jnp.zeros((S,), dtype=proc.rdtype)
+        cnt = jnp.zeros((), dtype=jnp.int32)
+        self._pl_state = online_chunk_init(
+            S, proc._st_la, proc._st_af, fr0, fi0, pack=8) + (tail, asum, cnt)
+
+    def _commit_range(self, n, n_live):
+        """Valid rows of this call's committed slab: row m commits absolute
+        frame frames_seen+m-LA, which must exist and have been pushed live
+        (drain-padding rows past the flush tail commit dead frames)."""
+        prev = self._frames_seen
+        skip = max(0, self.LA - prev)
+        end = min(n, self._live_seen + int(n_live) + self.LA - prev)
+        return skip, end
+
+    def _finish_advance(self, audio, cr, ci, n, n_live, skip, end):
+        proc = self.proc
+        S = self.streams
+        self._frames_seen += n
+        self._live_seen += int(n_live)
+        if self.keep_frames and end > skip:
+            com = np.asarray(cr) + 1j * np.asarray(ci)
+            self.committed_frames.extend(
+                com[:, i] if S > 1 else com[0, i] for i in range(skip, end))
+        end = max(skip, end)
+        a = audio[:, skip * proc.fshift:end * proc.fshift]
+        if S == 1:
+            a = a[0]
+        return a if self.emit == "device" else np.asarray(a)
+
+    def _advance_pallas(self, specs, n_live):
+        """Advance the chunked Pallas stream by the stacked spectrogram
+        frames `specs` (n, [S,] F); frames >= n_live are drain steps. One
+        kernel dispatch per call (spec pushers control their chunk shape)."""
+        proc = self.proc
+        specs = np.asarray(specs).astype(np.complex128)
+        n = specs.shape[0]
+        S = self.streams
+        # streams-first (S, n, F) layout for the kernel
+        sp = specs.transpose(1, 0, 2) if S > 1 else specs[:, None].transpose(1, 0, 2)
+        fr = jnp.asarray(sp.real, dtype=proc.rdtype)
+        fi = jnp.asarray(sp.imag, dtype=proc.rdtype)
+        if self._pl_state is None:
+            self._ensure_pl_state(fr[:, 0], fi[:, 0])
+        skip, end = self._commit_range(n, n_live)
+        audio, cr, ci, self._pl_state = self._chunk_fn(
+            fr, fi, self._pl_state, np.int32(n_live), np.int32(skip),
+            np.int32(end))
+        return self._finish_advance(audio, cr, ci, n, n_live, skip, end)
+
+    def _advance_samples(self, xblk, n_frames, n_live):
+        """Advance by a raw-sample window covering n_frames frames; the
+        device program does framing, STFT and threshold tracking."""
+        proc = self.proc
+        S = self.streams
+        xblk = np.reshape(np.asarray(xblk, np.float64), (S, -1))
+        if self._pl_state is None:
+            f0 = np.fft.rfft(xblk[:, :proc.fsize] * np.asarray(proc.awin),
+                             n=proc.fftsize, axis=-1)
+            self._ensure_pl_state(jnp.asarray(f0.real, dtype=proc.rdtype),
+                                  jnp.asarray(f0.imag, dtype=proc.rdtype))
+        skip, end = self._commit_range(n_frames, n_live)
+        audio, cr, ci, self._pl_state = self._chunk_sample_fn(
+            jnp.asarray(xblk, dtype=proc.rdtype), self._pl_state,
+            np.int32(n_live), np.int32(skip), np.int32(end))
+        return self._finish_advance(audio, cr, ci, n_frames, n_live, skip, end)
+
     def push_block(self, x) -> np.ndarray:
         """Feed an audio chunk and process all contained frames in ONE device
         dispatch (scan over frames). Same semantics as push(); use this for
@@ -200,8 +373,25 @@ class StreamingLWS:
         self._sample_buf = np.concatenate([self._sample_buf, x], axis=-1)
         avail = self._sample_buf.shape[-1]
         n = max(0, (avail - fsize) // fshift + 1) if avail >= fsize else 0
+        if self.backend == "pallas" and self.block_frames:
+            # only consume whole kernel blocks; the remainder stays buffered
+            n = (n // self.block_frames) * self.block_frames
         if n == 0:
             return np.zeros(self._sample_buf.shape[:-1] + (0,))
+        if self.backend == "pallas":
+            # hand raw sample windows to the device program block by block;
+            # framing/STFT/thresholds all run on device
+            view = (self._sample_buf if self.streams > 1
+                    else self._sample_buf[None])
+            nb = self.block_frames or n
+            outs = []
+            for i in range(0, n, nb):
+                b = min(nb, n - i)
+                w = view[:, i * fshift:i * fshift + (b - 1) * fshift + fsize]
+                outs.append(self._advance_samples(w, b, b))
+            self._sample_buf = self._sample_buf[..., n * fshift:]
+            cat = jnp.concatenate if self.emit == "device" else np.concatenate
+            return cat(outs, axis=-1)
         starts = fshift * np.arange(n)
         frames = np.stack([self._sample_buf[..., s:s + fsize] for s in starts])
         self._sample_buf = self._sample_buf[..., n * fshift:]
@@ -211,6 +401,8 @@ class StreamingLWS:
     def _push_frames(self, specs) -> np.ndarray:
         """Run N stacked spectrogram frames (N, [S,] F) through the pipeline
         in one dispatch; returns committed audio."""
+        if self.backend == "pallas":
+            return self._advance_pallas(specs, n_live=specs.shape[0])
         proc = self.proc
         specs = np.asarray(specs).astype(np.complex128)
         n = specs.shape[0]
@@ -276,6 +468,8 @@ class StreamingLWS:
         (apply the perfectrec pre-padding yourself if you need alignment with
         proc.stft(x, perfectrec=True)).
         """
+        if self.backend == "pallas":
+            return self.push_block(x)  # same framing, one dispatch per chunk
         proc = self.proc
         fsize, fshift = proc.fsize, proc.fshift
         x = np.asarray(x, dtype=np.float64)
@@ -309,6 +503,8 @@ class StreamingLWS:
             spec = spec.reshape(self.streams, -1)
         else:
             spec = spec.reshape(-1)
+        if self.backend == "pallas":
+            return self._advance_pallas(spec[None], n_live=0 if drain else 1)
         fr = jnp.asarray(spec.real, dtype=proc.rdtype)
         fi = jnp.asarray(spec.imag, dtype=proc.rdtype)
         amp = jnp.asarray(np.abs(spec), dtype=proc.rdtype)
@@ -361,20 +557,52 @@ class StreamingLWS:
         fsize, fshift = proc.fsize, proc.fshift
         out = []
         pending = self._sample_buf.shape[-1]
-        if pending > 0:
-            # frames whose start lies inside the buffered samples
-            n_frames = -(-pending // fshift)
-            pad = max(0, (n_frames - 1) * fshift + fsize - pending)
-            pad_shape = (self.streams, pad) if self.streams > 1 else (pad,)
-            out.append(self.push(np.zeros(pad_shape)))
         zero_shape = (self.streams, self.F) if self.streams > 1 else (self.F,)
-        zero = np.zeros(zero_shape, dtype=np.complex128)
-        for _ in range(self.LA):
-            if self._win_r is not None:
-                out.append(self.push_frame(zero, drain=True))
-        out.append(self._ola_tail.copy())
+        if self.backend == "pallas":
+            # sample-domain drain: form every frame containing buffered
+            # samples, append the LA drain steps, and pad to whole kernel
+            # blocks with extra drains (their dead commits are discarded by
+            # the live-frame accounting)
+            n_res = -(-pending // fshift) if pending > 0 else 0
+            if self._pl_state is not None or n_res:
+                nb = self.block_frames
+                total = n_res + self.LA
+                total_pad = -(-total // nb) * nb if nb else max(total, 1)
+                need = (total_pad - 1) * fshift + fsize
+                view = (self._sample_buf if self.streams > 1
+                        else self._sample_buf[None])
+                buf = np.concatenate(
+                    [view, np.zeros((view.shape[0], need - view.shape[-1]))],
+                    axis=-1)
+                step_nb = nb or total_pad
+                for i in range(0, total_pad, step_nb):
+                    b = min(step_nb, total_pad - i)
+                    w = buf[:, i * fshift:i * fshift + (b - 1) * fshift + fsize]
+                    out.append(self._advance_samples(
+                        w, b, int(np.clip(n_res - i, 0, b))))
+                # the OLA tail lives on device; emit and zero it
+                t = self._pl_state[3]
+                tail = t if self.streams > 1 else t[0]
+                out.append(tail if self.emit == "device" else np.asarray(tail))
+                self._pl_state = (*self._pl_state[:3], jnp.zeros_like(t),
+                                  *self._pl_state[4:])
+        else:
+            if pending > 0:
+                # frames whose start lies inside the buffered samples
+                n_frames = -(-pending // fshift)
+                pad = max(0, (n_frames - 1) * fshift + fsize - pending)
+                pad_shape = (self.streams, pad) if self.streams > 1 else (pad,)
+                out.append(self.push(np.zeros(pad_shape)))
+            zero = np.zeros(zero_shape, dtype=np.complex128)
+            for _ in range(self.LA):
+                if self._win_r is not None:
+                    out.append(self.push_frame(zero, drain=True))
+            out.append(self._ola_tail.copy())
         tail_shape = ((self.streams, fsize) if self.streams > 1 else (fsize,))
         self._ola_tail = np.zeros(tail_shape)
         self._sample_buf = (np.zeros((self.streams, 0)) if self.streams > 1
                             else np.zeros(0))
-        return np.concatenate(out, axis=-1)
+        if not out:
+            return np.zeros(tail_shape[:-1] + (0,))
+        cat = jnp.concatenate if self.emit == "device" else np.concatenate
+        return cat(out, axis=-1)

@@ -285,3 +285,42 @@ def test_segmented_quality_and_magnitudes(golden_q4):
     c_s = float(np.asarray(p.get_consistency(out)))
     assert abs(c_s - c_r) < 0.5, (c_s, c_r)
     np.testing.assert_allclose(np.abs(out), np.abs(A), atol=1e-4)
+
+
+def test_online_chunk_matches_offline_exact(golden_q4):
+    """Chunked streaming online kernel (online_chunk with carried state,
+    fixed mean) == offline packed_rtisi_la, bit-for-bit at equal (eager)
+    compilation: any chunking of the frame stream reproduces the offline
+    register-window state exactly. Matches lwslib.cpp:1424-1492 semantics
+    streamed through StreamingLWS.push_block."""
+    from lws_tpu.ops.pallas_packed import (online_chunk, online_chunk_init,
+                                           packed_rtisi_la)
+    p, A, pair = _setup(golden_q4, dtype=jnp.float64)
+    T, F = A.shape[-2:]
+    LA = p.look_ahead
+    thr = jnp.asarray(get_thresholds(4, p.online_alpha, p.online_beta,
+                                     p.online_gamma), dtype=jnp.float64)
+    sr, si = pair
+    sr, si = sr[None] if sr.ndim == 2 else sr, si[None] if si.ndim == 2 else si
+    osr, osi = packed_rtisi_la(sr, si, p._st_la, p._st_nofuture, p._st_af,
+                               thr, interpret=True)
+    mean = jnp.mean(jnp.sqrt(sr * sr + si * si), axis=(-2, -1))
+
+    state = online_chunk_init(sr.shape[0], p._st_la, p._st_af,
+                              sr[:, 0], si[:, 0])
+    outs = []
+    for a, b in [(0, 17), (17, 18), (18, T)]:
+        m = jnp.broadcast_to(mean[:, None], (sr.shape[0], b - a))
+        cr, ci, state = online_chunk(sr[:, a:b], si[:, a:b], state, m,
+                                     p._st_la, p._st_nofuture, p._st_af, thr,
+                                     interpret=True)
+        outs.append((cr, ci))
+    z = jnp.zeros((sr.shape[0], LA, F), dtype=sr.dtype)
+    m = jnp.broadcast_to(mean[:, None], (sr.shape[0], LA))
+    cr, ci, state = online_chunk(z, z, state, m, p._st_la, p._st_nofuture,
+                                 p._st_af, thr, n_live=0, interpret=True)
+    outs.append((cr, ci))
+    all_r = jnp.concatenate([o[0] for o in outs], axis=1)[:, LA:LA + T]
+    all_i = jnp.concatenate([o[1] for o in outs], axis=1)[:, LA:LA + T]
+    np.testing.assert_array_equal(np.asarray(all_r), np.asarray(osr))
+    np.testing.assert_array_equal(np.asarray(all_i), np.asarray(osi))

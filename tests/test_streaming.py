@@ -187,3 +187,100 @@ def test_batched_streams_match_single(golden_q4):
     ys = np.stack(singles)
     assert yb.shape == ys.shape
     np.testing.assert_allclose(yb, ys, rtol=1e-6, atol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# chunked Pallas backend (ops/pallas_packed.py::online_chunk)
+# ---------------------------------------------------------------------------
+
+def _pallas_stream(proc, iters, mean_amp, streams=1):
+    return StreamingLWS(proc, iterations=iters, mean_amp=mean_amp,
+                        streams=streams, keep_frames=True,
+                        backend="pallas", interpret=True)
+
+
+def test_pallas_streaming_matches_offline_packed(golden_q4):
+    """The chunked Pallas backend with a fixed mean_amp reproduces the
+    offline packed_rtisi_la kernel: the carried window state is exactly the
+    offline kernel's register window (bit-exact at equal compilation —
+    tests/test_pallas.py::test_online_chunk_matches_offline_exact; here the
+    stream's jitted chunk fn and the offline program fuse differently, so
+    the comparison uses the standard chaos band)."""
+    from lws_tpu.ops.pallas_packed import packed_rtisi_la
+    from lws_tpu.windows import get_thresholds
+    g = golden_q4
+    proc = LWS(int(g.fsize), int(g.fshift), L=int(g.L), dtype=jnp.float64,
+               online_iterations=4)
+    S = proc.stft(np.asarray(g.x))
+    A = np.abs(S)
+    T, F = A.shape
+    mean_amp = float(np.mean(A))
+    thr = jnp.asarray(get_thresholds(4, proc.online_alpha, proc.online_beta,
+                                     proc.online_gamma), dtype=jnp.float64)
+    sr = jnp.asarray(A)[None]
+    # jit the offline call like the stream's chunk fn (the StreamingLWS
+    # backend jits its kernel; fusion inside jit differs from eager at the
+    # last ulp, which phase-recovery chaos would amplify)
+    import jax
+    import functools
+    offline_fn = jax.jit(functools.partial(
+        packed_rtisi_la, st_la=proc._st_la, st_ai=proc._st_nofuture,
+        st_af=proc._st_af, thresholds=thr, interpret=True))
+    osr, osi = offline_fn(sr, jnp.zeros_like(sr))
+    offline = np.asarray(osr[0]) + 1j * np.asarray(osi[0])
+    # the mean must match the offline kernel's own jnp computation to the
+    # last ulp or a borderline amp > thr*mean comparison can flip
+    mean_amp = float(jnp.mean(jnp.sqrt(sr * sr), axis=(-2, -1))[0])
+
+    stream = _pallas_stream(proc, 4, mean_amp)
+    for a, b in [(0, 17), (17, 18), (18, T)]:
+        stream._push_frames(A[a:b].astype(np.complex128))
+    stream.flush()
+    committed = np.stack(stream.committed_frames)
+    assert committed.shape[0] == T
+    np.testing.assert_allclose(committed.real, offline.real, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(committed.imag, offline.imag, rtol=1e-3, atol=1e-3)
+    close = np.isclose(committed, offline, rtol=1e-6, atol=1e-8)
+    assert close.mean() > 0.97, close.mean()
+
+
+def test_pallas_chunk_size_invariance(golden_q4):
+    """Any chunking of the same stream yields bit-identical audio."""
+    g = golden_q4
+    proc = LWS(int(g.fsize), int(g.fshift), L=int(g.L), dtype=jnp.float64,
+               online_iterations=3)
+    x = _padded_signal(proc, np.asarray(g.x))
+
+    def run(chunk):
+        s = _pallas_stream(proc, 3, None)
+        outs = [s.push(x[i:i + chunk]) for i in range(0, len(x), chunk)]
+        outs.append(s.flush())
+        return np.concatenate(outs, axis=-1)
+
+    y1, y2 = run(len(x)), run(700)
+    n = min(len(y1), len(y2))
+    # the running mean is a chunk-boundary-dependent float sum (last-ulp);
+    # with a fixed mean_amp the outputs are bit-identical
+    np.testing.assert_allclose(y1[:n], y2[:n], rtol=1e-9, atol=1e-12)
+
+
+def test_pallas_batched_streams_match_single(golden_q4):
+    """streams=4 lockstep == the same signals processed alone (running mean
+    is tracked per stream)."""
+    g = golden_q4
+    proc = LWS(int(g.fsize), int(g.fshift), L=int(g.L), dtype=jnp.float64,
+               online_iterations=3)
+    x = _padded_signal(proc, np.asarray(g.x))
+    xs = np.stack([x, 0.3 * x, np.roll(x, 1000), -x])
+
+    sb = _pallas_stream(proc, 3, None, streams=4)
+    yb = np.concatenate([sb.push_block(xs[:, :4096]),
+                         sb.push_block(xs[:, 4096:]), sb.flush()], axis=-1)
+    s1 = _pallas_stream(proc, 3, None)
+    y1 = np.concatenate([s1.push_block(x[:4096]), s1.push_block(x[4096:]),
+                         s1.flush()], axis=-1)
+    assert yb.shape == (4, y1.shape[0])
+    np.testing.assert_allclose(yb[0], y1, rtol=1e-10, atol=1e-12)
+    # scale equivariance holds mathematically but 0.3*x rounds differently;
+    # the fp difference is chaos-amplified (same band as the XLA test above)
+    np.testing.assert_allclose(yb[1], 0.3 * y1, rtol=1e-3, atol=1e-5)
