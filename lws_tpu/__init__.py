@@ -45,6 +45,7 @@ from .core.stencil import make_stencil, merge, split
 from .mel import linear_to_mel, mel_filterbank, mel_to_linear, mel_vocoder_pipeline
 from .io import read_wav, write_wav
 from .streaming import StreamingLWS
+from .checkpoint import resumable_lws, save_checkpoint, load_checkpoint
 
 __version__ = "0.1.0"
 
@@ -55,6 +56,7 @@ __all__ = [
     "batch_lws", "nofuture_lws", "online_lws", "extspec", "split", "merge",
     "StreamingLWS", "mel_filterbank", "linear_to_mel", "mel_to_linear",
     "mel_vocoder_pipeline", "read_wav", "write_wav",
+    "resumable_lws", "save_checkpoint", "load_checkpoint",
 ]
 
 
