@@ -27,12 +27,21 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.stencil import Stencil, _parse_colors
 
 __all__ = ["packed_lws_sweeps", "packed_rtisi_la", "packed_supported",
-           "online_supported", "tiled_lws_sweeps", "segmented_lws_sweeps",
-           "online_chunk", "online_chunk_init"]
+           "online_supported", "tiled_supported", "tiled_lws_sweeps",
+           "segmented_lws_sweeps", "online_chunk", "online_chunk_init",
+           "MAX_Q"]
 
 
 def _cdiv(a, b):
     return -(-a // b)
+
+
+# Largest overlap factor the register-window kernels accept. The sliding
+# window holds 2Q-1 frame rows as live vector values and the frame body
+# unrolls (2Q-1)x(2L+1) taps, so compile time and register pressure grow
+# quadratically with Q; beyond this cap the processor falls back to the XLA
+# path. Raisable (module constant) for exotic geometries.
+MAX_Q = 16
 
 
 def packed_supported(T: int, F: int, Q: int, L: int, pack: int = 4,
@@ -44,6 +53,21 @@ def packed_supported(T: int, F: int, Q: int, L: int, pack: int = 4,
     per_plane = (T + 2 * Q + 8) * pack * fp * 4
     weights = 2 * n_sets * (2 * Q - 1) * (2 * L + 1) * fp * 4
     return 3 * per_plane + weights < vmem_budget
+
+
+def tiled_supported(F: int, Q: int, L: int, pack: int = 8, micro: int = 1,
+                    vmem_budget: int = 12 * 2 ** 20) -> bool:
+    """Whether the time-tiled kernel can run this geometry at all: the fixed
+    VMEM costs (staged weight tensors + the 2(2Q-1)-row register window) plus
+    a minimum useful tile (8 rows x 3 planes with the 2(Q-1) halo rows) must
+    leave headroom inside scoped VMEM. Large Q at large F (e.g. Q=16 with
+    F=2049) fails this and must take the XLA fallback."""
+    fpad = _cdiv(F, 128) * 128
+    w_bytes = 2 * 2 * (2 * Q - 1) * (2 * L + 1) * F * 4
+    win_bytes = 2 * (2 * Q - 1) * pack * (fpad + 2 * L) * 4
+    min_tile = max(8, int(micro))
+    plane_rows = 3 * (min_tile + 2 * (Q - 1)) + 8
+    return plane_rows * pack * fpad * 4 + w_bytes + win_bytes < vmem_budget
 
 
 def _freq_halo(rows_r, rows_i, F, L):
@@ -281,8 +305,8 @@ def packed_lws_sweeps(
         sr, si = sr[None], si[None]
     B, T, F = sr.shape
     Q, L = st.Q, st.L
-    if Q - 1 > 8:
-        raise ValueError(f"packed kernel supports Q <= 9, got Q={Q}")
+    if Q > MAX_Q:
+        raise ValueError(f"packed kernel supports Q <= {MAX_Q}, got Q={Q}")
     iters = int(thresholds.shape[0])
     micro = max(1, int(micro))
     P = int(pack)
@@ -520,8 +544,8 @@ def packed_rtisi_la(
     B, T, F = sr.shape
     Q, L = st_af.Q, st_af.L
     LA = len(st_la)
-    if Q - 1 > 8 or LA > 8:
-        raise ValueError("packed online kernel supports Q <= 9 and LA <= 8")
+    if Q > MAX_Q or LA > 8:
+        raise ValueError(f"packed online kernel supports Q <= {MAX_Q} and LA <= 8")
     iters = int(thresholds.shape[0])
     P = int(pack)
 
@@ -707,8 +731,8 @@ def online_chunk(sr, si, state, means, st_la, st_ai, st_af, thresholds,
     B, N, F = sr.shape
     Q, L = st_af.Q, st_af.L
     LA = len(st_la)
-    if Q - 1 > 8 or LA > 8:
-        raise ValueError("chunked online kernel supports Q <= 9 and LA <= 8")
+    if Q > MAX_Q or LA > 8:
+        raise ValueError(f"chunked online kernel supports Q <= {MAX_Q} and LA <= 8")
     iters = int(thresholds.shape[0])
     P = int(pack)
     if n_live is None:
@@ -982,8 +1006,8 @@ def tiled_lws_sweeps(
     B, T, F = sr.shape
     Q, L = st.Q, st.L
     Q1 = Q - 1
-    if Q1 > 8:
-        raise ValueError(f"packed kernel supports Q <= 9, got Q={Q}")
+    if Q > MAX_Q:
+        raise ValueError(f"packed kernel supports Q <= {MAX_Q}, got Q={Q}")
     iters = int(thresholds.shape[0])
     micro = max(1, int(micro))
     # don't pack more utterances than the batch fills (rounded to the
@@ -1006,6 +1030,13 @@ def tiled_lws_sweeps(
             budget = 8 * 2 ** 20 + 2 ** 19 - w_bytes - win_bytes
             tile = max(micro, budget // (3 * P * fpad_ * 4) - 2 * (Q - 1))
             tile = min(tile, 128)
+            if budget // (3 * P * fpad_ * 4) - 2 * (Q - 1) < 8:
+                # fixed costs leave no useful tile (tiled_supported is the
+                # caller-facing predicate); a sub-8-row tile both OOMs the
+                # compiler's staging and crawls - refuse instead
+                raise ValueError(
+                    f"tiled kernel cannot fit F={F}, Q={Q}, L={L}, pack={P} "
+                    "in VMEM; use the XLA path")
     TT = max(micro, (int(tile) // micro) * micro)
 
     amp = jnp.sqrt(sr * sr + si * si)

@@ -222,8 +222,9 @@ def pallas_lws_sweeps(
         _kernel, T=T, F=F, Q=Q, L=L, iters=iters, block=block, micro=micro,
         nz=st.nz, inner_passes=int(inner_passes))
 
-    if Q - 1 > 8:
-        raise ValueError(f"pallas kernel supports Q <= 9, got Q={Q}; use the XLA path")
+    from .pallas_packed import MAX_Q
+    if Q > MAX_Q:
+        raise ValueError(f"pallas kernel supports Q <= {MAX_Q}, got Q={Q}; use the XLA path")
     n_blocks = -(-T // block)
     Tp = 8 + n_blocks * block + 16  # TOP pad + blocks + bottom read slack
     # pad amp to a whole number of blocks: the kernel's dynamic row reads must

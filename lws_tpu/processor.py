@@ -227,16 +227,25 @@ class LWS:
         """Use the Pallas kernels when they apply.
 
         Conditions: TPU backend, float32 planes, reference-like "gs" order,
-        Q <= 9. Kernel variant is picked per call: sublane-packed resident
-        (fits VMEM), else time-tiled (any T); online falls back from packed
-        to single-utterance resident.
+        Q <= ops.pallas_packed.MAX_Q. Kernel variant is picked per call:
+        sublane-packed resident (fits VMEM), else time-tiled (any T); online
+        falls back from packed to single-utterance resident.
         """
+        from .ops.pallas_packed import MAX_Q, tiled_supported
         if self.backend == "xla":
             return False
+        # micro > 1 (blocked updates) is a CPU/interpret research knob: its
+        # unaligned dynamic-sublane stores do not compile under Mosaic for
+        # micro >= 8, and micro=4 measures no faster than the exact-order
+        # register window (PERF.md) - on TPU only micro=1 routes to Pallas
         ok = (jax.default_backend() == "tpu"
               and self.rdtype == jnp.float32
               and self.order == "gs"
-              and self._Qi <= 9)
+              and self.pallas_micro == 1
+              and self._Qi <= MAX_Q
+              and tiled_supported(pair[0].shape[-1], self._Qi, self.L,
+                                  pack=self.pallas_pack,
+                                  micro=self.pallas_micro))
         if self.backend == "pallas" and not ok:
             raise ValueError("pallas backend requested but unsupported for this config")
         return ok

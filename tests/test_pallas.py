@@ -324,3 +324,45 @@ def test_online_chunk_matches_offline_exact(golden_q4):
     all_i = jnp.concatenate([o[1] for o in outs], axis=1)[:, LA:LA + T]
     np.testing.assert_array_equal(np.asarray(all_r), np.asarray(osr))
     np.testing.assert_array_equal(np.asarray(all_i), np.asarray(osi))
+
+
+def test_large_q_tiled_matches_xla_gs():
+    """Q=12 (beyond the old Q<=9 cap): the tiled kernel matches the XLA
+    frame-GS order bit-for-bit in f64 interpret mode; on-chip validation of
+    Q=12/Q=16 is in tools/tpu_smoke.py territory (compiles and converges)."""
+    from lws_tpu.core.batch import lws_sweeps
+    from lws_tpu.ops.pallas_packed import tiled_lws_sweeps
+    proc = LWS(1536, 128, L=3, dtype=jnp.float64)
+    assert proc._Qi == 12
+    rng = np.random.default_rng(7)
+    F = proc.fftsize // 2 + 1
+    amp = np.abs(rng.standard_normal((2, 30, F)))
+    sr = jnp.asarray(amp)
+    si = jnp.zeros_like(sr)
+    thr = jnp.asarray(get_thresholds(2, 100, 0.1, 1), dtype=jnp.float64)
+    ref = lws_sweeps(sr, si, st=proc._st_batch, thresholds=thr, order="gs")
+    out = tiled_lws_sweeps(sr, si, st=proc._st_batch, thresholds=thr,
+                           micro=1, pack=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(ref[0]))
+    np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(ref[1]))
+
+
+def test_tiled_supported_and_max_q_bounds():
+    """VMEM-fit predicate: big-Q small-F fits, big-Q big-F does not (the
+    processor then takes the XLA fallback instead of a compiler OOM), and
+    geometries beyond MAX_Q are refused by the kernels."""
+    from lws_tpu.ops.pallas_packed import (MAX_Q, tiled_lws_sweeps,
+                                           tiled_supported)
+    assert tiled_supported(257, 4, 5)
+    assert tiled_supported(1025, 16, 2)        # validated on-chip
+    assert not tiled_supported(2049, 16, 2)    # OOMs scoped VMEM on-chip
+    proc = LWS(512, 128, L=5, dtype=jnp.float64)
+    st = proc._st_batch
+
+    class FakeSt:
+        Q, L, nz = MAX_Q + 1, st.L, st.nz
+
+    sr = jnp.zeros((1, 8, 257))
+    thr = jnp.ones((1,))
+    with pytest.raises(ValueError, match="supports Q <="):
+        tiled_lws_sweeps(sr, sr, st=FakeSt(), thresholds=thr, interpret=True)
