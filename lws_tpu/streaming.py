@@ -25,7 +25,9 @@ same committed frames as proc.online_lws on the full spectrogram.
 """
 from __future__ import annotations
 
+import collections
 import functools
+import time
 
 import numpy as np
 
@@ -34,7 +36,50 @@ import jax.numpy as jnp
 
 from .core.stencil import freq_extend, update_frame
 
-__all__ = ["StreamingLWS"]
+__all__ = ["StreamingLWS", "StreamStats"]
+
+
+class StreamStats:
+    """Serving observability: per-push latency and throughput of a stream.
+
+    Recorded automatically by the push entry points (a perf_counter pair per
+    call - negligible next to a device dispatch). The reference has no
+    serving story to mirror; this plays the run_lws.m tic/toc role
+    (matlab/run_lws.m:85-148) for the streaming path.
+    """
+
+    def __init__(self, window: int = 8192):
+        self._walls = collections.deque(maxlen=window)
+        self.pushes = 0
+        self.frames = 0
+        self.samples = 0
+        self.wall = 0.0
+
+    def reset(self):
+        """Zero the counters (e.g. after compile warm-up, to report
+        steady-state serving latency only)."""
+        self.__init__(window=self._walls.maxlen)
+
+    def record(self, wall: float, frames: int, samples: int):
+        self._walls.append(wall)
+        self.pushes += 1
+        self.frames += int(frames)
+        self.samples += int(samples)
+        self.wall += wall
+
+    def summary(self, sample_rate: float | None = None) -> dict:
+        """p50/p95/p99 push latency (s), pushes, frames, emitted samples and,
+        with a sample_rate, the aggregate realtime factor per stream."""
+        w = np.asarray(self._walls, dtype=np.float64)
+        out = dict(pushes=self.pushes, frames=self.frames,
+                   samples=self.samples, wall_s=self.wall)
+        if w.size:
+            out.update(p50_s=float(np.percentile(w, 50)),
+                       p95_s=float(np.percentile(w, 95)),
+                       p99_s=float(np.percentile(w, 99)))
+        if sample_rate and self.wall > 0:
+            out["realtime_factor"] = self.samples / sample_rate / self.wall
+        return out
 
 
 class StreamingLWS:
@@ -100,6 +145,8 @@ class StreamingLWS:
             from_ri, from_samples = self._make_chunk_fns()
             self._chunk_fn = jax.jit(from_ri, donate_argnums=(2,))
             self._chunk_sample_fn = jax.jit(from_samples, donate_argnums=(1,))
+        # cumulative across reset(): observability over a serving lifetime
+        self.stats = StreamStats()
         self.reset()
 
     # ------------------------------------------------------------------
@@ -361,7 +408,37 @@ class StreamingLWS:
             np.int32(n_live), np.int32(skip), np.int32(end))
         return self._finish_advance(audio, cr, ci, n_frames, n_live, skip, end)
 
+    def _timed(self, fn, *args, **kw):
+        t0 = time.perf_counter()
+        out = fn(*args, **kw)
+        wall = time.perf_counter() - t0
+        n = int(out.shape[-1])
+        self.stats.record(wall, n // self.proc.fshift, n)
+        return out
+
     def push_block(self, x) -> np.ndarray:
+        """Feed an audio chunk; all contained frames run in ONE device
+        dispatch per kernel block (see _push_block). Timed into .stats."""
+        return self._timed(self._push_block, x)
+
+    def push(self, x) -> np.ndarray:
+        """Feed audio samples; returns newly committed audio (see _push).
+        Timed into .stats."""
+        return self._timed(self._push, x)
+
+    def push_frame(self, spec, drain: bool = False) -> np.ndarray:
+        """Feed one spectrogram frame (see _push_frame). Timed into .stats."""
+        return self._timed(self._push_frame, spec, drain=drain)
+
+    def push_frames(self, specs) -> np.ndarray:
+        """Feed N stacked spectrogram frames (N, [S,] F) in ONE device
+        dispatch - the vocoder-serving entry when the acoustic model emits
+        frames in blocks (per-frame push_frame costs one dispatch round-trip
+        per hop; this amortises it over the block). Timed into .stats."""
+        specs = np.asarray(specs)
+        return self._timed(self._push_frames, specs)
+
+    def _push_block(self, x) -> np.ndarray:
         """Feed an audio chunk and process all contained frames in ONE device
         dispatch (scan over frames). Same semantics as push(); use this for
         throughput-oriented serving where chunk latency is acceptable.
@@ -461,7 +538,7 @@ class StreamingLWS:
         self._win_i = jnp.tile(ei0[..., None, :], reps)
         self._amp_w = jnp.tile(amp0[..., None, :], reps)
 
-    def push(self, x) -> np.ndarray:
+    def _push(self, x) -> np.ndarray:
         """Feed audio samples; returns any newly committed audio samples.
 
         Frames are taken at starts 0, fshift, 2*fshift, ... of the stream
@@ -469,7 +546,7 @@ class StreamingLWS:
         proc.stft(x, perfectrec=True)).
         """
         if self.backend == "pallas":
-            return self.push_block(x)  # same framing, one dispatch per chunk
+            return self._push_block(x)  # same framing, one dispatch per chunk
         proc = self.proc
         fsize, fshift = proc.fsize, proc.fshift
         x = np.asarray(x, dtype=np.float64)
@@ -488,9 +565,9 @@ class StreamingLWS:
     def _process_frame(self, frame) -> np.ndarray:
         proc = self.proc
         spec = np.fft.rfft(frame * proc.awin, n=proc.fftsize, axis=-1)
-        return self.push_frame(spec)
+        return self._push_frame(spec)
 
-    def push_frame(self, spec, drain: bool = False) -> np.ndarray:
+    def _push_frame(self, spec, drain: bool = False) -> np.ndarray:
         """Feed one spectrogram frame directly (complex with untrusted phase,
         or magnitudes - e.g. streaming vocoder output). Returns committed
         audio samples (empty while the look-ahead pipeline fills).
@@ -592,11 +669,11 @@ class StreamingLWS:
                 n_frames = -(-pending // fshift)
                 pad = max(0, (n_frames - 1) * fshift + fsize - pending)
                 pad_shape = (self.streams, pad) if self.streams > 1 else (pad,)
-                out.append(self.push(np.zeros(pad_shape)))
+                out.append(self._push(np.zeros(pad_shape)))
             zero = np.zeros(zero_shape, dtype=np.complex128)
             for _ in range(self.LA):
                 if self._win_r is not None:
-                    out.append(self.push_frame(zero, drain=True))
+                    out.append(self._push_frame(zero, drain=True))
             out.append(self._ola_tail.copy())
         tail_shape = ((self.streams, fsize) if self.streams > 1 else (fsize,))
         self._ola_tail = np.zeros(tail_shape)

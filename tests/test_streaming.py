@@ -284,3 +284,20 @@ def test_pallas_batched_streams_match_single(golden_q4):
     # scale equivariance holds mathematically but 0.3*x rounds differently;
     # the fp difference is chaos-amplified (same band as the XLA test above)
     np.testing.assert_allclose(yb[1], 0.3 * y1, rtol=1e-3, atol=1e-5)
+
+
+def test_stream_stats_recorded():
+    """Push entry points record latency/throughput into .stats."""
+    import lws_tpu
+    proc = lws_tpu.LWS(512, 128, look_ahead=2, online_iterations=2,
+                       dtype=jnp.float64)
+    s = StreamingLWS(proc, iterations=2, backend="xla")
+    x = np.sin(2 * np.pi * 220 * np.arange(4096) / 16000)
+    s.push(x[:2048])
+    s.push(x[2048:])
+    s.flush()
+    rep = s.stats.summary(sample_rate=16000)
+    assert rep["pushes"] == 2
+    assert rep["samples"] > 0 and rep["wall_s"] > 0
+    assert "p50_s" in rep and rep["p99_s"] >= rep["p50_s"]
+    assert rep["realtime_factor"] > 0
