@@ -301,3 +301,30 @@ def test_stream_stats_recorded():
     assert rep["samples"] > 0 and rep["wall_s"] > 0
     assert "p50_s" in rep and rep["p99_s"] >= rep["p50_s"]
     assert rep["realtime_factor"] > 0
+
+
+def test_push_frames_matches_push_frame(golden_q4):
+    """push_frames (N frames, one dispatch) == the same N push_frame calls:
+    the block step is the per-frame step under lax.scan over the stack."""
+    g = golden_q4
+    proc = LWS(int(g.fsize), int(g.fshift), L=int(g.L), dtype=jnp.float64,
+               online_iterations=3)
+    S = proc.stft(np.asarray(g.x))
+    A = np.abs(S)
+    mean_amp = float(A.mean())
+
+    a = StreamingLWS(proc, iterations=3, mean_amp=mean_amp, keep_frames=True)
+    for i in range(A.shape[0]):
+        a.push_frame(A[i])
+
+    b = StreamingLWS(proc, iterations=3, mean_amp=mean_amp, keep_frames=True)
+    for i in range(0, A.shape[0] - A.shape[0] % 8, 8):
+        b.push_frames(A[i:i + 8])
+    for i in range(A.shape[0] - A.shape[0] % 8, A.shape[0]):
+        b.push_frame(A[i])
+
+    ca = np.stack(a.committed_frames)
+    cb = np.stack(b.committed_frames)
+    assert ca.shape == cb.shape
+    # same state evolution, different jit programs -> fp-noise difference
+    np.testing.assert_allclose(ca, cb, rtol=1e-4, atol=1e-6)
