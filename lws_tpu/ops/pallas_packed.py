@@ -55,19 +55,45 @@ def packed_supported(T: int, F: int, Q: int, L: int, pack: int = 4,
     return 3 * per_plane + weights < vmem_budget
 
 
-def tiled_supported(F: int, Q: int, L: int, pack: int = 8, micro: int = 1,
-                    vmem_budget: int = 12 * 2 ** 20) -> bool:
-    """Whether the time-tiled kernel can run this geometry at all: the fixed
-    VMEM costs (staged weight tensors + the 2(2Q-1)-row register window) plus
-    a minimum useful tile (8 rows x 3 planes with the 2(Q-1) halo rows) must
-    leave headroom inside scoped VMEM. Large Q at large F (e.g. Q=16 with
-    F=2049) fails this and must take the XLA fallback."""
+def _tiled_tile(F: int, Q: int, L: int, P: int, micro: int = 1):
+    """VMEM time-tile sizing for the tiled kernel; None if the geometry does
+    not fit (the SINGLE source of truth — tiled_supported and
+    tiled_lws_sweeps both use it, so the gate can never pass a geometry the
+    kernel refuses).
+
+    Scratch planes (2 state + amp), weight tensors, and the register window
+    must stay inside the 16 MB scoped VMEM with headroom for the compiler's
+    staging. First size against 11 MB (beyond ~128 rows locality stops
+    helping, so cap there); if the full estimate exceeds 13 MB (observed OOM
+    regime at pack*Fpad large), re-size conservatively against 8.5 MB minus
+    the fixed allocations; below an 8-row tile, refuse (sub-8-row tiles both
+    OOM the compiler's staging and crawl)."""
+    micro = max(1, int(micro))
     fpad = _cdiv(F, 128) * 128
-    w_bytes = 2 * 2 * (2 * Q - 1) * (2 * L + 1) * F * 4
-    win_bytes = 2 * (2 * Q - 1) * pack * (fpad + 2 * L) * 4
-    min_tile = max(8, int(micro))
-    plane_rows = 3 * (min_tile + 2 * (Q - 1)) + 8
-    return plane_rows * pack * fpad * 4 + w_bytes + win_bytes < vmem_budget
+    w_bytes = 2 * 2 * (2 * Q - 1) * (2 * L + 1) * F * 4  # r+i, 2x staged
+    win_bytes = 2 * (2 * Q - 1) * P * (fpad + 2 * L) * 4
+    tile = max(micro, (11 * 2 ** 20) // (3 * P * fpad * 4) - 2 * (Q - 1))
+    tile = min(tile, 128)
+    est = (3 * tile + 4 * (Q - 1)) * P * fpad * 4 + w_bytes + win_bytes
+    if est > 13 * 2 ** 20:
+        budget = 8 * 2 ** 20 + 2 ** 19 - w_bytes - win_bytes
+        rows = budget // (3 * P * fpad * 4) - 2 * (Q - 1)
+        if rows < 8:
+            return None
+        tile = min(max(micro, rows), 128)
+    return tile
+
+
+def tiled_supported(F: int, Q: int, L: int, pack: int = 8, micro: int = 1,
+                    B: int | None = None) -> bool:
+    """Whether the time-tiled kernel can run this geometry at the given pack
+    (pass the batch size B to account for the kernel's own pack clamp for
+    underfilled batches). Large Q at large F (e.g. Q=16 with F=2049) fails
+    and must take the XLA fallback."""
+    if Q > MAX_Q:
+        return False
+    P = int(pack) if B is None else min(int(pack), max(8, _cdiv(B, 8) * 8))
+    return _tiled_tile(F, Q, L, P, micro) is not None
 
 
 def _freq_halo(rows_r, rows_i, F, L):
@@ -1014,29 +1040,13 @@ def tiled_lws_sweeps(
     # 8-sublane tile): dead sublane tiles would burn VPU cycles
     P = min(int(pack), max(8, _cdiv(B, 8) * 8))
     if tile is None:
-        # Scratch planes (2 state + amp), weight tensors, and the register
-        # window must stay inside the 16 MB scoped VMEM with headroom for
-        # the compiler's staging. First size against 11 MB (beyond ~128
-        # rows locality stops helping, so cap there); if the full estimate
-        # exceeds 13 MB (observed OOM regime at pack*Fpad large), re-size
-        # conservatively against 8.5 MB minus the fixed allocations.
-        fpad_ = _cdiv(F, 128) * 128
-        w_bytes = 2 * 2 * (2 * Q - 1) * (2 * L + 1) * F * 4  # r+i, 2x staged
-        win_bytes = 2 * (2 * Q - 1) * P * (fpad_ + 2 * L) * 4
-        tile = max(micro, (11 * 2 ** 20) // (3 * P * fpad_ * 4) - 2 * (Q - 1))
-        tile = min(tile, 128)
-        est = (3 * tile + 4 * (Q - 1)) * P * fpad_ * 4 + w_bytes + win_bytes
-        if est > 13 * 2 ** 20:
-            budget = 8 * 2 ** 20 + 2 ** 19 - w_bytes - win_bytes
-            tile = max(micro, budget // (3 * P * fpad_ * 4) - 2 * (Q - 1))
-            tile = min(tile, 128)
-            if budget // (3 * P * fpad_ * 4) - 2 * (Q - 1) < 8:
-                # fixed costs leave no useful tile (tiled_supported is the
-                # caller-facing predicate); a sub-8-row tile both OOMs the
-                # compiler's staging and crawls - refuse instead
-                raise ValueError(
-                    f"tiled kernel cannot fit F={F}, Q={Q}, L={L}, pack={P} "
-                    "in VMEM; use the XLA path")
+        tile = _tiled_tile(F, Q, L, P, micro)
+        if tile is None:
+            # fixed costs leave no useful tile (tiled_supported is the
+            # caller-facing predicate and uses the same sizing)
+            raise ValueError(
+                f"tiled kernel cannot fit F={F}, Q={Q}, L={L}, pack={P} "
+                "in VMEM; use a smaller pack or the XLA path")
     TT = max(micro, (int(tile) // micro) * micro)
 
     amp = jnp.sqrt(sr * sr + si * si)

@@ -206,22 +206,42 @@ class LWS:
             packed_rtisi_la, st_la=self._st_la, st_ai=self._st_nofuture,
             st_af=self._st_af, pack=self._online_pack,
             inner_scheme=self.inner_scheme))
+        # pack is a call-time static arg: _eff_pack downshifts 16 -> 8 for
+        # geometries whose wide-pack fixed VMEM costs leave no useful tile
+        # (e.g. F=1025 at Q=8) instead of losing the Pallas path entirely
         self._batch_tiled = jax.jit(functools.partial(
             tiled_lws_sweeps, st=self._st_batch, micro=self.pallas_micro,
-            pack=self.pallas_pack, inner_passes=self.inner_passes,
-            inner_scheme=self.inner_scheme, storage=self.pallas_storage))
+            inner_passes=self.inner_passes,
+            inner_scheme=self.inner_scheme, storage=self.pallas_storage),
+            static_argnames=("pack",))
         self._nofuture_tiled = jax.jit(functools.partial(
             tiled_lws_sweeps, st=self._st_nofuture, micro=self.pallas_micro,
-            pack=self.pallas_pack, storage=self.pallas_storage))
+            storage=self.pallas_storage), static_argnames=("pack",))
         self._batch_seg = jax.jit(functools.partial(
             segmented_lws_sweeps, st=self._st_batch, micro=self.pallas_micro,
-            pack=self.pallas_pack, inner_passes=self.inner_passes,
+            inner_passes=self.inner_passes,
             inner_scheme=self.inner_scheme, storage=self.pallas_storage),
-            static_argnames=("segments", "sweeps_per_exchange"))
+            static_argnames=("segments", "sweeps_per_exchange", "pack"))
         self._nofuture_seg = jax.jit(functools.partial(
             segmented_lws_sweeps, st=self._st_nofuture, micro=self.pallas_micro,
-            pack=self.pallas_pack, storage=self.pallas_storage),
-            static_argnames=("segments", "sweeps_per_exchange"))
+            storage=self.pallas_storage),
+            static_argnames=("segments", "sweeps_per_exchange", "pack"))
+
+    def _eff_pack(self, pair):
+        """Largest workable sublane pack for this call's geometry, or None
+        when the tiled kernel cannot run it at all. Tries the configured
+        pack first, then the 8-row physical minimum: wide packs are purely
+        a throughput knob (PERF.md), so downshifting preserves semantics."""
+        from .ops.pallas_packed import tiled_supported
+        F = pair[0].shape[-1]
+        B = int(np.prod(pair[0].shape[:-2])) if pair[0].ndim > 2 else 1
+        for p in (self.pallas_pack, 8):
+            if tiled_supported(F, self._Qi, self.L, pack=p,
+                               micro=self.pallas_micro, B=B):
+                return p
+            if p <= 8:
+                break
+        return None
 
     def _use_pallas(self, pair):
         """Use the Pallas kernels when they apply.
@@ -231,7 +251,7 @@ class LWS:
         sublane-packed resident (fits VMEM), else time-tiled (any T); online
         falls back from packed to single-utterance resident.
         """
-        from .ops.pallas_packed import MAX_Q, tiled_supported
+        from .ops.pallas_packed import MAX_Q
         if self.backend == "xla":
             return False
         # micro > 1 (blocked updates) is a CPU/interpret research knob: its
@@ -243,9 +263,7 @@ class LWS:
               and self.order == "gs"
               and self.pallas_micro == 1
               and self._Qi <= MAX_Q
-              and tiled_supported(pair[0].shape[-1], self._Qi, self.L,
-                                  pack=self.pallas_pack,
-                                  micro=self.pallas_micro))
+              and self._eff_pack(pair) is not None)
         if self.backend == "pallas" and not ok:
             raise ValueError("pallas backend requested but unsupported for this config")
         return ok
@@ -271,7 +289,7 @@ class LWS:
             return jfn(sr, si, thresholds=thresholds)
         return fn(sr, si, thresholds=thresholds)
 
-    def _auto_segments(self, sr):
+    def _auto_segments(self, sr, pack=None):
         """Time segments for long, sublane-underfilled workloads.
 
         A single 10-min spectrogram runs the tiled kernel at 1/pack sublane
@@ -284,7 +302,7 @@ class LWS:
             return 1
         B = 1 if sr.ndim == 2 else int(np.prod(sr.shape[:-2]))
         T = sr.shape[-2]
-        free = self.pallas_pack // max(1, B)
+        free = (pack or self.pallas_pack) // max(1, B)
         if free < 2:
             return 1
         # S capped at 8: one full sublane tile per segment group; S=16
@@ -293,26 +311,32 @@ class LWS:
 
     def _batch_fn(self, sr, si, thresholds):
         if self._use_pallas((sr, si)):
-            S = self._auto_segments(sr)
+            pk = self._eff_pack((sr, si))
+            S = self._auto_segments(sr, pk)
             if S > 1:
                 # 4 sweeps per halo exchange: quality-equivalent, ~20%
                 # faster than per-sweep exchange (PERF.md)
                 fn = functools.partial(self._batch_seg, segments=S,
-                                       sweeps_per_exchange=4)
+                                       sweeps_per_exchange=4, pack=pk)
                 return self._run_flat(fn, sr, si, thresholds)
             # the time-tiled kernel streams state through VMEM, so the wide
             # pack fits regardless of T (a single tile when T is small)
-            return self._run_flat(self._batch_tiled, sr, si, thresholds)
+            return self._run_flat(
+                functools.partial(self._batch_tiled, pack=pk),
+                sr, si, thresholds)
         return self._xla_fallback(self._batch_xla, sr, si, thresholds, st=self._st_batch)
 
     def _nofuture_fn(self, sr, si, thresholds):
         if self._use_pallas((sr, si)):
-            S = self._auto_segments(sr)
+            pk = self._eff_pack((sr, si))
+            S = self._auto_segments(sr, pk)
             if S > 1:
                 fn = functools.partial(self._nofuture_seg, segments=S,
-                                       sweeps_per_exchange=4)
+                                       sweeps_per_exchange=4, pack=pk)
                 return self._run_flat(fn, sr, si, thresholds)
-            return self._run_flat(self._nofuture_tiled, sr, si, thresholds)
+            return self._run_flat(
+                functools.partial(self._nofuture_tiled, pack=pk),
+                sr, si, thresholds)
         return self._xla_fallback(self._nofuture_xla, sr, si, thresholds,
                                   st=self._st_nofuture)
 
