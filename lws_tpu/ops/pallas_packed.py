@@ -55,45 +55,50 @@ def packed_supported(T: int, F: int, Q: int, L: int, pack: int = 4,
     return 3 * per_plane + weights < vmem_budget
 
 
-def _tiled_tile(F: int, Q: int, L: int, P: int, micro: int = 1):
+def _tiled_tile(F: int, Q: int, L: int, P: int, micro: int = 1,
+                itemsize: int = 4):
     """VMEM time-tile sizing for the tiled kernel; None if the geometry does
     not fit (the SINGLE source of truth — tiled_supported and
     tiled_lws_sweeps both use it, so the gate can never pass a geometry the
-    kernel refuses).
+    kernel refuses). `itemsize` is the state-storage element width: the
+    scratch planes hold the evolving state in the storage dtype (bf16
+    halves them), while weights and the register window stay float32.
 
-    Scratch planes (2 state + amp), weight tensors, and the register window
-    must stay inside the 16 MB scoped VMEM with headroom for the compiler's
-    staging. First size against 11 MB (beyond ~128 rows locality stops
-    helping, so cap there); if the full estimate exceeds 13 MB (observed OOM
-    regime at pack*Fpad large), re-size conservatively against 8.5 MB minus
-    the fixed allocations; below an 8-row tile, refuse (sub-8-row tiles both
-    OOM the compiler's staging and crawl)."""
+    The model is calibrated against the compiler's own scoped-VMEM demand,
+    read off "Scoped allocation with size X" OOM reports on-chip (see
+    PERF.md): demand = tile*row + halo + stack, where row/halo are the
+    streaming scratch planes (2 state + amp, in the storage dtype) and
+    stack is Mosaic's spill for the live register window and the unrolled
+    tap temporaries — measured at ~1.04x ntaps*P*fpad*4 bytes worst-case
+    (Q=8, L=5, F=1025, P=16), budgeted at 1.1x. The staged weight tensors
+    and window blocks do NOT land in the scoped stack (measured: Q=4
+    F=2049's fixed cost equals the halo term alone). Budget 15.25 MiB of
+    the 16 MiB scoped limit; below an 8-row tile, refuse (the processor
+    then downshifts the pack or takes the XLA fallback)."""
     micro = max(1, int(micro))
     fpad = _cdiv(F, 128) * 128
-    w_bytes = 2 * 2 * (2 * Q - 1) * (2 * L + 1) * F * 4  # r+i, 2x staged
-    win_bytes = 2 * (2 * Q - 1) * P * (fpad + 2 * L) * 4
-    tile = max(micro, (11 * 2 ** 20) // (3 * P * fpad * 4) - 2 * (Q - 1))
-    tile = min(tile, 128)
-    est = (3 * tile + 4 * (Q - 1)) * P * fpad * 4 + w_bytes + win_bytes
-    if est > 13 * 2 ** 20:
-        budget = 8 * 2 ** 20 + 2 ** 19 - w_bytes - win_bytes
-        rows = budget // (3 * P * fpad * 4) - 2 * (Q - 1)
-        if rows < 8:
-            return None
-        tile = min(max(micro, rows), 128)
-    return tile
+    row = 3 * P * fpad * itemsize  # one time-row across the 3 state planes
+    halo_bytes = 4 * (Q - 1) * P * fpad * itemsize  # window halos, 2 planes
+    ntaps = (2 * Q - 1) * (2 * L + 1)
+    stack_bytes = int(1.1 * ntaps * P * fpad * 4)  # spills are f32 compute
+    budget = 15 * 2 ** 20 + 2 ** 18 - halo_bytes - stack_bytes
+    rows = budget // row
+    if rows < 8:
+        return None
+    return min(max(micro, rows), 128)
 
 
 def tiled_supported(F: int, Q: int, L: int, pack: int = 8, micro: int = 1,
-                    B: int | None = None) -> bool:
+                    B: int | None = None, itemsize: int = 4) -> bool:
     """Whether the time-tiled kernel can run this geometry at the given pack
     (pass the batch size B to account for the kernel's own pack clamp for
-    underfilled batches). Large Q at large F (e.g. Q=16 with F=2049) fails
-    and must take the XLA fallback."""
+    underfilled batches, and the storage itemsize when using bf16 planes).
+    Large Q at large F (e.g. Q=16 with F=2049) fails and must take the XLA
+    fallback."""
     if Q > MAX_Q:
         return False
     P = int(pack) if B is None else min(int(pack), max(8, _cdiv(B, 8) * 8))
-    return _tiled_tile(F, Q, L, P, micro) is not None
+    return _tiled_tile(F, Q, L, P, micro, itemsize=itemsize) is not None
 
 
 def _freq_halo(rows_r, rows_i, F, L):
@@ -1040,7 +1045,8 @@ def tiled_lws_sweeps(
     # 8-sublane tile): dead sublane tiles would burn VPU cycles
     P = min(int(pack), max(8, _cdiv(B, 8) * 8))
     if tile is None:
-        tile = _tiled_tile(F, Q, L, P, micro)
+        tile = _tiled_tile(F, Q, L, P, micro,
+                           itemsize=jnp.dtype(storage or sr.dtype).itemsize)
         if tile is None:
             # fixed costs leave no useful tile (tiled_supported is the
             # caller-facing predicate and uses the same sizing)
@@ -1048,6 +1054,10 @@ def tiled_lws_sweeps(
                 f"tiled kernel cannot fit F={F}, Q={Q}, L={L}, pack={P} "
                 "in VMEM; use a smaller pack or the XLA path")
     TT = max(micro, (int(tile) // micro) * micro)
+    # balance: with the tile count fixed, shrink the tile so the last tile
+    # isn't mostly padding (T=223 @ tile=74 -> 4x74 with 73 dead pad rows;
+    # balanced 4x56 -> 1 pad row, ~25% less wasted compute)
+    TT = max(micro, _cdiv(_cdiv(T, _cdiv(T, TT)), micro) * micro)
 
     amp = jnp.sqrt(sr * sr + si * si)
     if mean_amp is None:

@@ -235,9 +235,10 @@ class LWS:
         from .ops.pallas_packed import tiled_supported
         F = pair[0].shape[-1]
         B = int(np.prod(pair[0].shape[:-2])) if pair[0].ndim > 2 else 1
+        isz = (self.pallas_storage or jnp.dtype(self.rdtype)).itemsize
         for p in (self.pallas_pack, 8):
             if tiled_supported(F, self._Qi, self.L, pack=p,
-                               micro=self.pallas_micro, B=B):
+                               micro=self.pallas_micro, B=B, itemsize=isz):
                 return p
             if p <= 8:
                 break
