@@ -171,7 +171,7 @@ def bench_streaming(on_tpu):
     samples in, committed audio out; BASELINE config 3's 'real-time
     chunking' flavour - the offline 'online' row above is the same algorithm
     batch-offline). Device emission pipelines the chunk dispatches; the
-    final materialisation is inside the timed region. Median of 3 runs
+    final materialisation is inside the timed region. Median of 5 runs
     (remote-tunnel dispatch latency is noisy)."""
     import jax.numpy as jnp
     from lws_tpu import LWS
@@ -194,7 +194,7 @@ def bench_streaming(on_tpu):
 
     run()  # compile warm-up
     walls = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         run()
         walls.append(time.time() - t0)

@@ -366,3 +366,27 @@ def test_tiled_supported_and_max_q_bounds():
     thr = jnp.ones((1,))
     with pytest.raises(ValueError, match="supports Q <="):
         tiled_lws_sweeps(sr, sr, st=FakeSt(), thresholds=thr, interpret=True)
+
+
+def test_pack_downshift_and_bf16_unlock():
+    """f32 pack=16 at F=1025/Q=8 can NOT compile at any tile (the Mosaic
+    stack for the live register window alone nearly fills scoped VMEM —
+    measured on-chip, PERF.md): the gate must refuse it and the processor
+    must downshift to pack=8 rather than crash. bf16 storage halves the
+    plane rows, so the same geometry fits at pack=16 (validated on-chip)."""
+    from lws_tpu.ops.pallas_packed import tiled_supported
+    assert not tiled_supported(1025, 8, 5, pack=16)
+    assert tiled_supported(1025, 8, 5, pack=8)
+    assert tiled_supported(1025, 8, 5, pack=16, itemsize=2)
+
+    proc = LWS(2048, 256, L=5, pallas_pack=16, dtype=jnp.float32)
+    pair = (jnp.zeros((32, 64, 1025)), jnp.zeros((32, 64, 1025)))
+    assert proc._eff_pack(pair) == 8
+    proc_bf16 = LWS(2048, 256, L=5, pallas_pack=16, dtype=jnp.float32,
+                    pallas_storage="bfloat16")
+    assert proc_bf16._eff_pack(pair) == 16
+    # small batches: the kernel clamps P to the 8-row sublane minimum, so
+    # the gate approves the configured pack=16 against the clamped P=8
+    assert tiled_supported(1025, 8, 5, pack=16, B=2)
+    small = (jnp.zeros((2, 64, 1025)), jnp.zeros((2, 64, 1025)))
+    assert proc._eff_pack(small) == 16
