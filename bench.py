@@ -1,4 +1,5 @@
-"""Benchmark harness: all five BASELINE.json configs on one chip.
+"""Benchmark harness: all five BASELINE.json configs (plus a streaming
+serving config) on one chip.
 
 Configs (BASELINE.json "configs", reference canonical settings from
 matlab/run_lws.m:48-55 / python/lws.pyx:379-383):
@@ -11,6 +12,8 @@ matlab/run_lws.m:48-55 / python/lws.pyx:379-383):
   5 longform  48 kHz >10 min single stream, 4096-pt FFT, batch LWS
               (time-tiled kernel; the multi-host sharded variant is
               validated by __graft_entry__.dryrun_multichip)
+  6 streaming real-time chunked serving through StreamingLWS.push_block
+              (raw samples in, committed audio out, one dispatch per block)
 
 Prints ONE JSON line on stdout: the headline metric (config 1, the
 BASELINE.md 100x-real-time north-star) plus a "configs" object holding the
@@ -247,8 +250,8 @@ def write_table(rows, backend):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", type=int, default=0,
-                    help="run one config (1-5); default all")
+    ap.add_argument("--config", type=int, default=0, choices=range(0, 7),
+                    help="run one config (1-6); default all")
     ap.add_argument("--no-write", action="store_true",
                     help="skip regenerating BENCHMARKS.md")
     args = ap.parse_args()
@@ -278,11 +281,17 @@ def main():
 
     head = rows[0]
     value = head["audio_s"] / head["wall"]
+    # the chip headline (and its 100x-real-time north-star ratio) is
+    # config 1's rate; a single-config run of any other config labels the
+    # metric by name and carries no vs_baseline so harnesses parsing the
+    # one-JSON-line contract never record the wrong headline number
+    is_headline = head["name"] == "batch"
     print(json.dumps({
-        "metric": "audio_seconds_per_second_per_chip",
+        "metric": ("audio_seconds_per_second_per_chip" if is_headline
+                   else f"{head['name']}_audio_seconds_per_second_per_chip"),
         "value": round(value, 1),
         "unit": "audio-s/s/chip",
-        "vs_baseline": round(value / 100.0, 3),
+        "vs_baseline": round(value / 100.0, 3) if is_headline else None,
         "configs": {r["name"]: round(r["audio_s"] / r["wall"], 1) for r in rows},
     }))
 

@@ -147,10 +147,14 @@ def resumable_lws(proc, S, stage="batch", iterations=None, thresholds=None,
         attempt = 0
         while True:
             try:
-                sr, si = stage_fn((sr, si), thresholds=chunk)
-                # materialise now: a lazy device error must surface inside
-                # the retry scope, and the checkpoint needs host arrays
-                sr, si = np.asarray(sr), np.asarray(si)
+                # keep (sr, si) bound to the pre-chunk host state until the
+                # chunk has fully materialised: device faults often surface
+                # lazily at np.asarray, and rebinding earlier would make the
+                # retry re-run the chunk from the failed call's outputs
+                # (double-applying its thresholds)
+                nsr, nsi = stage_fn((sr, si), thresholds=chunk)
+                nsr, nsi = np.asarray(nsr), np.asarray(nsi)
+                sr, si = nsr, nsi
                 break
             except (KeyboardInterrupt, CheckpointMismatch):
                 raise

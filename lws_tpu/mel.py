@@ -8,6 +8,8 @@ MXU matmuls, batched over utterances.
 """
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 
 import jax.numpy as jnp
@@ -91,7 +93,10 @@ def mel_to_linear(mel_mag, fb, eps: float = 1e-10) -> jnp.ndarray:
     """
     mel_mag = jnp.asarray(mel_mag)
     fb64 = np.ascontiguousarray(np.asarray(fb, dtype=np.float64))
-    key = (fb64.shape, hash(fb64.tobytes()))
+    # key on a cryptographic digest of the contents: Python's 64-bit hash()
+    # can collide for distinct same-shape filterbanks, which would silently
+    # return the wrong pseudo-inverse
+    key = (fb64.shape, hashlib.sha256(fb64.tobytes()).digest())
     inv = _PINV_CACHE.get(key)
     if inv is None:
         inv = np.linalg.pinv(fb64)  # (n_bins, n_mels)

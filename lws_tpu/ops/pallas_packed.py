@@ -376,7 +376,7 @@ def packed_lws_sweeps(
         P=P)
 
     rows = (Q - 1) + n_groups * micro + (Q - 1) + micro  # + read slack
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
     wspec = pl.BlockSpec((2 * Q - 1, 2 * L + 1, F), lambda g: (0, 0, 0),
                          memory_space=pltpu.VMEM)
     osr, osi = pl.pallas_call(
@@ -607,7 +607,7 @@ def packed_rtisi_la(
     kern = functools.partial(_online_kernel, T=T, F=F, Q=Q, L=L, LA=LA,
                              inner_scheme=inner_scheme,
                              iters=iters, nzs=nzs, P=P)
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
     wspec = pl.BlockSpec(wrs.shape, lambda g: (0, 0, 0, 0), memory_space=pltpu.VMEM)
     osr, osi = pl.pallas_call(
         kern,
@@ -794,7 +794,7 @@ def online_chunk(sr, si, state, means, st_la, st_ai, st_af, thresholds,
     kern = functools.partial(_online_chunk_kernel, N=N, F=F, Q=Q, L=L, LA=LA,
                              inner_scheme=inner_scheme, iters=iters, nzs=nzs,
                              P=P)
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
     wspec = pl.BlockSpec(wrs.shape, lambda g: (0, 0, 0, 0), memory_space=pltpu.VMEM)
 
     def gblock(a):
@@ -1113,7 +1113,7 @@ def tiled_lws_sweeps(
         nz=st.nz, inner_passes=int(inner_passes), inner_scheme=inner_scheme,
         P=P, TT=TT)
 
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
     wspec = pl.BlockSpec((2 * Q - 1, 2 * L + 1, F), lambda g: (0, 0, 0),
                          memory_space=pltpu.VMEM)
     rows_hbm = Q1 + n_tiles * TT + Q1

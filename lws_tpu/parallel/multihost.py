@@ -48,31 +48,34 @@ def init_distributed(coordinator_address: str | None = None,
 
     Returns True if distributed mode is active after the call. Single-process
     runs (num_processes == 1 or nothing configured) are a no-op.
+
+    Must be the first JAX call in the process: jax.distributed.initialize
+    refuses to run once the XLA backend exists, so the idempotency check
+    here deliberately avoids any device/backend query (jax.process_count()
+    itself would initialise the backend and make initialisation impossible).
+    A too-late call raises instead of silently degrading to N independent
+    single-process jobs.
     """
-    if jax.process_count() > 1:
-        return True  # already initialised
+    if jax.distributed.is_initialized():
+        return jax.process_count() > 1  # already initialised
     coordinator_address = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
         num_processes = int(os.environ["JAX_NUM_PROCESSES"])
     if process_id is None and "JAX_PROCESS_ID" in os.environ:
         process_id = int(os.environ["JAX_PROCESS_ID"])
-    try:
-        if coordinator_address is None and num_processes is None:
-            # Cloud TPU pods: jax.distributed.initialize() autodetects;
-            # calling it unconfigured off-pod raises, so only try when it
-            # looks like one
-            if (os.environ.get("TPU_WORKER_HOSTNAMES")
-                    or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")):
-                jax.distributed.initialize()
-                return jax.process_count() > 1
-            return False
-        jax.distributed.initialize(coordinator_address=coordinator_address,
-                                   num_processes=num_processes,
-                                   process_id=process_id)
-    except RuntimeError:
-        # backend already initialised (init must precede first device use) —
-        # report the current state instead of failing
-        return jax.process_count() > 1
+    if coordinator_address is None and num_processes is None:
+        # Cloud TPU pods: jax.distributed.initialize() autodetects;
+        # calling it unconfigured off-pod raises, so only try when it
+        # looks like one. A single-entry TPU_WORKER_HOSTNAMES (no comma)
+        # is a 1-host slice — single-process, nothing to initialise.
+        if ("," in os.environ.get("TPU_WORKER_HOSTNAMES", "")
+                or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")):
+            jax.distributed.initialize()
+            return jax.process_count() > 1
+        return False
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
     return jax.process_count() > 1
 
 

@@ -227,44 +227,61 @@ class LWS:
             storage=self.pallas_storage),
             static_argnames=("segments", "sweeps_per_exchange", "pack"))
 
-    def _eff_pack(self, pair):
-        """Largest workable sublane pack for this call's geometry, or None
-        when the tiled kernel cannot run it at all. Tries the configured
-        pack first, then the 8-row physical minimum: wide packs are purely
-        a throughput knob (PERF.md), so downshifting preserves semantics."""
+    def _pallas_base_ok(self):
+        """Stage-independent Pallas preconditions: TPU backend, float32
+        planes, reference-like "gs" order, Q <= ops.pallas_packed.MAX_Q."""
+        from .ops.pallas_packed import MAX_Q
+        return (self.backend != "xla"
+                and jax.default_backend() == "tpu"
+                and self.rdtype == jnp.float32
+                and self.order == "gs"
+                and self._Qi <= MAX_Q)
+
+    def _plan_tiled(self, pair):
+        """(pack, segments) launch plan for the tiled batch/no-future kernel,
+        or None when no pack fits this geometry.
+
+        The VMEM fit is evaluated at the POST-segmentation effective batch
+        (auto-segmentation multiplies the virtual utterance count, which can
+        raise the kernel's internal sublane pack past what the unsegmented
+        batch would use), so the gate and the launched kernel always agree.
+        Tries the configured pack first, then the 8-row physical minimum;
+        within a pack, segmentation is halved until the fit holds — wide
+        packs and segments are purely throughput knobs (PERF.md), so
+        downshifting preserves semantics."""
         from .ops.pallas_packed import tiled_supported
         F = pair[0].shape[-1]
+        T = pair[0].shape[-2]
         B = int(np.prod(pair[0].shape[:-2])) if pair[0].ndim > 2 else 1
         isz = (self.pallas_storage or jnp.dtype(self.rdtype)).itemsize
-        for p in (self.pallas_pack, 8):
-            if tiled_supported(F, self._Qi, self.L, pack=p,
-                               micro=self.pallas_micro, B=B, itemsize=isz):
-                return p
-            if p <= 8:
-                break
+        packs = (self.pallas_pack,) if self.pallas_pack <= 8 else (self.pallas_pack, 8)
+        for p in packs:
+            S = self._auto_segments(B, T, p)
+            while S >= 1:
+                if tiled_supported(F, self._Qi, self.L, pack=p,
+                                   micro=self.pallas_micro, B=B * S,
+                                   itemsize=isz):
+                    return p, S
+                S //= 2
         return None
 
-    def _use_pallas(self, pair):
-        """Use the Pallas kernels when they apply.
+    def _eff_pack(self, pair):
+        """Largest workable sublane pack for this call's geometry (the pack
+        component of `_plan_tiled`), or None when the tiled kernel cannot
+        run it at all."""
+        plan = self._plan_tiled(pair)
+        return None if plan is None else plan[0]
 
-        Conditions: TPU backend, float32 planes, reference-like "gs" order,
-        Q <= ops.pallas_packed.MAX_Q. Kernel variant is picked per call:
-        sublane-packed resident (fits VMEM), else time-tiled (any T); online
-        falls back from packed to single-utterance resident.
+    def _use_pallas(self, pair):
+        """Whether the batch/no-future Pallas kernels apply to this call.
+
+        micro > 1 (blocked updates) is a CPU/interpret research knob: its
+        unaligned dynamic-sublane stores do not compile under Mosaic for
+        micro >= 8, and micro=4 measures no faster than the exact-order
+        register window (PERF.md) - on TPU only micro=1 routes to Pallas.
         """
-        from .ops.pallas_packed import MAX_Q
-        if self.backend == "xla":
-            return False
-        # micro > 1 (blocked updates) is a CPU/interpret research knob: its
-        # unaligned dynamic-sublane stores do not compile under Mosaic for
-        # micro >= 8, and micro=4 measures no faster than the exact-order
-        # register window (PERF.md) - on TPU only micro=1 routes to Pallas
-        ok = (jax.default_backend() == "tpu"
-              and self.rdtype == jnp.float32
-              and self.order == "gs"
-              and self.pallas_micro == 1
-              and self._Qi <= MAX_Q
-              and self._eff_pack(pair) is not None)
+        ok = (self._pallas_base_ok() and self.pallas_micro == 1
+              and self._plan_tiled(pair) is not None)
         if self.backend == "pallas" and not ok:
             raise ValueError("pallas backend requested but unsupported for this config")
         return ok
@@ -290,7 +307,7 @@ class LWS:
             return jfn(sr, si, thresholds=thresholds)
         return fn(sr, si, thresholds=thresholds)
 
-    def _auto_segments(self, sr, pack=None):
+    def _auto_segments(self, B, T, pack=None):
         """Time segments for long, sublane-underfilled workloads.
 
         A single 10-min spectrogram runs the tiled kernel at 1/pack sublane
@@ -301,8 +318,6 @@ class LWS:
         ordinary workloads keep the exact unsegmented order."""
         if not self.auto_segment:
             return 1
-        B = 1 if sr.ndim == 2 else int(np.prod(sr.shape[:-2]))
-        T = sr.shape[-2]
         free = (pack or self.pallas_pack) // max(1, B)
         if free < 2:
             return 1
@@ -310,40 +325,51 @@ class LWS:
         # shrinks the VMEM time-tiles enough to lose the gain (PERF.md)
         return max(1, min(free, 8, T // 2048))
 
-    def _batch_fn(self, sr, si, thresholds):
-        if self._use_pallas((sr, si)):
-            pk = self._eff_pack((sr, si))
-            S = self._auto_segments(sr, pk)
+    def _sweep_fn(self, sr, si, thresholds, tiled, seg, xla, st):
+        """Shared batch/no-future dispatch: one `_plan_tiled` evaluation
+        picks the kernel variant (segmented when the plan says the batch
+        underfills the sublanes, plain tiled otherwise), with the XLA
+        fallback behind it."""
+        plan = None
+        if self._pallas_base_ok() and self.pallas_micro == 1:
+            plan = self._plan_tiled((sr, si))
+        if self.backend == "pallas" and plan is None:
+            raise ValueError("pallas backend requested but unsupported for this config")
+        if plan is not None:
+            pk, S = plan
             if S > 1:
                 # 4 sweeps per halo exchange: quality-equivalent, ~20%
                 # faster than per-sweep exchange (PERF.md)
-                fn = functools.partial(self._batch_seg, segments=S,
+                fn = functools.partial(seg, segments=S,
                                        sweeps_per_exchange=4, pack=pk)
                 return self._run_flat(fn, sr, si, thresholds)
             # the time-tiled kernel streams state through VMEM, so the wide
             # pack fits regardless of T (a single tile when T is small)
-            return self._run_flat(
-                functools.partial(self._batch_tiled, pack=pk),
-                sr, si, thresholds)
-        return self._xla_fallback(self._batch_xla, sr, si, thresholds, st=self._st_batch)
+            return self._run_flat(functools.partial(tiled, pack=pk),
+                                  sr, si, thresholds)
+        return self._xla_fallback(xla, sr, si, thresholds, st=st)
+
+    def _batch_fn(self, sr, si, thresholds):
+        return self._sweep_fn(sr, si, thresholds, self._batch_tiled,
+                              self._batch_seg, self._batch_xla, self._st_batch)
 
     def _nofuture_fn(self, sr, si, thresholds):
-        if self._use_pallas((sr, si)):
-            pk = self._eff_pack((sr, si))
-            S = self._auto_segments(sr, pk)
-            if S > 1:
-                fn = functools.partial(self._nofuture_seg, segments=S,
-                                       sweeps_per_exchange=4, pack=pk)
-                return self._run_flat(fn, sr, si, thresholds)
-            return self._run_flat(
-                functools.partial(self._nofuture_tiled, pack=pk),
-                sr, si, thresholds)
-        return self._xla_fallback(self._nofuture_xla, sr, si, thresholds,
-                                  st=self._st_nofuture)
+        return self._sweep_fn(sr, si, thresholds, self._nofuture_tiled,
+                              self._nofuture_seg, self._nofuture_xla,
+                              self._st_nofuture)
 
     def _online_fn(self, sr, si, thresholds):
-        if (self._use_pallas((sr, si)) and self.look_ahead <= 8
-                and self._online_ok((sr, si))):
+        # the online kernel has its OWN fit gate (its register window scales
+        # with 2+LA weight sets, not the batch kernel's time tiles): gating
+        # it on the tiled-kernel plan would regress valid online geometries
+        # (e.g. F=2049/Q=8, where the tiled kernel does not fit but the
+        # streaming online kernel does) to the frame-sequential XLA scan
+        ok = (self._pallas_base_ok() and self.look_ahead <= 8
+              and self._online_ok((sr, si)))
+        if self.backend == "pallas" and not ok:
+            raise ValueError(
+                "pallas backend requested but unsupported for the online stage")
+        if ok:
             return self._run_flat(self._online_packed, sr, si, thresholds)
         return self._online_xla(sr, si, thresholds=thresholds)
 

@@ -165,6 +165,7 @@ class StreamingLWS:
         self._ola_tail = np.zeros(tail_shape)
         self._committed = 0
         self._pl_state = None  # pallas backend: carried kernel window state
+        self._frontier_tail = None  # unemitted OLA at the commit frontier
         self._live_seen = 0  # frames pushed live (drain steps excluded)
         self.committed_frames: list = []
 
@@ -366,6 +367,16 @@ class StreamingLWS:
             self.committed_frames.extend(
                 com[:, i] if S > 1 else com[0, i] for i in range(skip, end))
         end = max(skip, end)
+        # the unemitted overlap-add frontier: emission stops at end*fshift
+        # but the last committed frames' contributions extend fsize-fshift
+        # samples further. When end < n (flush padding the final block with
+        # drain rows), that region lies inside `audio` beyond the emitted
+        # slice rather than in the carried state tail (which is anchored at
+        # n*fshift) — track it so flush() emits the true signal tail instead
+        # of the state tail's zeros
+        self._frontier_tail = jnp.concatenate(
+            [audio[:, end * proc.fshift:], self._pl_state[3]],
+            axis=-1)[:, :proc.fsize]
         a = audio[:, skip * proc.fshift:end * proc.fshift]
         if S == 1:
             a = a[0]
@@ -657,12 +668,17 @@ class StreamingLWS:
                     w = buf[:, i * fshift:i * fshift + (b - 1) * fshift + fsize]
                     out.append(self._advance_samples(
                         w, b, int(np.clip(n_res - i, 0, b))))
-                # the OLA tail lives on device; emit and zero it
+                # emit the commit-frontier OLA tail (NOT the carried state
+                # tail: with drain-padded final blocks the true tail lies in
+                # the last chunk's unemitted audio region) and zero the
+                # carried tail so nothing is double-emitted later
                 t = self._pl_state[3]
-                tail = t if self.streams > 1 else t[0]
+                ft = self._frontier_tail
+                tail = ft if self.streams > 1 else ft[0]
                 out.append(tail if self.emit == "device" else np.asarray(tail))
                 self._pl_state = (*self._pl_state[:3], jnp.zeros_like(t),
                                   *self._pl_state[4:])
+                self._frontier_tail = None
         else:
             if pending > 0:
                 # frames whose start lies inside the buffered samples

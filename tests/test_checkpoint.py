@@ -106,6 +106,49 @@ def test_transient_failure_retried(proc, spec, tmp_path, monkeypatch):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+def test_lazy_failure_retries_from_prechunk_state(proc, spec, tmp_path,
+                                                  monkeypatch):
+    """A device fault surfacing at materialisation (np.asarray of a lazily
+    evaluated result, the common TPU transient) must retry from the
+    PRE-chunk state: retrying from the failed call's outputs would apply the
+    chunk's thresholds twice and silently diverge from the uninterrupted
+    run."""
+    armed = {"on": True}
+
+    class LazyFault:
+        """Wraps a real result; the first materialisation raises (the
+        transient-fault window), later ones succeed."""
+
+        def __init__(self, arr):
+            self._arr = np.asarray(arr)
+
+        def __array__(self, dtype=None, copy=None):
+            if armed["on"]:
+                armed["on"] = False
+                raise RuntimeError("simulated lazy device fault")
+            return self._arr if dtype is None else self._arr.astype(dtype)
+
+    real = proc.batch_lws
+    calls = {"n": 0}
+
+    def flaky(S, **kw):
+        calls["n"] += 1
+        out = real(S, **kw)
+        if calls["n"] == 2:
+            return LazyFault(out[0]), LazyFault(out[1])
+        return out
+
+    monkeypatch.setattr(proc, "batch_lws", flaky)
+    with pytest.warns(UserWarning, match="retry 1/2"):
+        out = resumable_lws(proc, spec, stage="batch", iterations=8,
+                            checkpoint_path=str(tmp_path / "lf.npz"),
+                            checkpoint_every=4, max_retries=2)
+    monkeypatch.undo()
+    ref = resumable_lws(proc, spec, stage="batch", iterations=8,
+                        checkpoint_path=None, checkpoint_every=4)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
 def test_retries_exhausted_raises(proc, spec, monkeypatch):
     def dead(S, **kw):
         raise RuntimeError("permanent failure")

@@ -390,3 +390,43 @@ def test_pack_downshift_and_bf16_unlock():
     assert tiled_supported(1025, 8, 5, pack=16, B=2)
     small = (jnp.zeros((2, 64, 1025)), jnp.zeros((2, 64, 1025)))
     assert proc._eff_pack(small) == 16
+
+
+def test_plan_tiled_accounts_for_segmentation():
+    """Auto-segmentation multiplies the effective virtual-utterance batch,
+    which raises the kernel's internal sublane pack: the launch plan must
+    evaluate the VMEM fit at the POST-segmentation batch. A B=2 long-form
+    batch at F=1025/Q=8/pack=16 used to pass the gate at the clamped P=8 and
+    then crash the segmented kernel launch at P=16; the plan now shrinks the
+    segment count until the fit holds."""
+    import jax
+    from lws_tpu.ops.pallas_packed import tiled_supported
+    proc = LWS(2048, 256, L=5, pallas_pack=16, dtype=jnp.float32)
+    sds = jax.ShapeDtypeStruct((2, 16384, 1025), jnp.float32)
+    plan = proc._plan_tiled((sds, sds))
+    assert plan is not None
+    pk, S = plan
+    assert S > 1  # the long underfilled workload still gets segmentation
+    # the plan's (pack, segments) must be launchable: the fit holds at the
+    # effective batch the segmented kernel will actually run
+    assert tiled_supported(1025, proc._Qi, proc.L, pack=pk, B=2 * S)
+    # a short workload keeps the unsegmented exact order
+    small = jax.ShapeDtypeStruct((2, 64, 1025), jnp.float32)
+    assert proc._plan_tiled((small, small)) == (16, 1)
+
+
+def test_online_gate_independent_of_tiled_plan(monkeypatch):
+    """The online kernel's routing must not be gated on the batch tiled
+    kernel's VMEM plan: its register window scales with the 2+LA weight
+    sets, not the batch kernel's time tiles. F=2049/Q=8/L=5 fits the
+    streaming online kernel (at look_ahead=1: 2+LA weight sets) but no tiled
+    f32 pack (regression: online silently fell back to the frame-sequential
+    XLA scan on TPU there, and backend='pallas' raised for a config the
+    online kernel handles)."""
+    import jax
+    proc = LWS(4096, 512, L=5, dtype=jnp.float32, look_ahead=1)
+    sds = jax.ShapeDtypeStruct((1, 64, 2049), jnp.float32)
+    assert proc._plan_tiled((sds, sds)) is None  # tiled cannot fit this F*Q
+    assert proc._online_ok((sds, sds))           # the online kernel can
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert proc._pallas_base_ok()                # so _online_fn routes Pallas

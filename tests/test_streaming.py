@@ -264,6 +264,35 @@ def test_pallas_chunk_size_invariance(golden_q4):
     np.testing.assert_allclose(y1[:n], y2[:n], rtol=1e-9, atol=1e-12)
 
 
+def test_pallas_flush_emits_true_ola_tail(golden_q4):
+    """flush() on the pallas backend must emit the final fsize-fshift
+    samples of overlap-add audio (the commit-frontier tail). Block
+    quantisation pads the final chunk with drain rows, which used to strand
+    the true tail in the unemitted audio region and emit the carried state
+    tail's zeros instead — the XLA backend is the ground truth here,
+    including the tail."""
+    g = golden_q4
+    proc = LWS(int(g.fsize), int(g.fshift), L=int(g.L), dtype=jnp.float64,
+               online_iterations=3)
+    x = _padded_signal(proc, np.asarray(g.x))
+    mean_amp = float(np.mean(np.abs(proc.stft(np.asarray(g.x)))))
+
+    sx = StreamingLWS(proc, iterations=3, mean_amp=mean_amp, backend="xla")
+    yx = np.concatenate([sx.push(x), sx.flush()], axis=-1)
+
+    sp = _pallas_stream(proc, 3, mean_amp)
+    yp = np.concatenate([sp.push(x), sp.flush()], axis=-1)
+
+    assert yp.shape == yx.shape
+    tail = proc.fsize - proc.fshift
+    # the tail region carries real signal energy, not silence
+    assert np.abs(yx[-proc.fsize:-proc.fsize + tail]).max() > 1e-3
+    np.testing.assert_allclose(yp[-proc.fsize:], yx[-proc.fsize:],
+                               rtol=1e-3, atol=1e-4)
+    # and the whole stream agrees within the usual separate-program band
+    np.testing.assert_allclose(yp, yx, rtol=1e-3, atol=1e-4)
+
+
 def test_pallas_batched_streams_match_single(golden_q4):
     """streams=4 lockstep == the same signals processed alone (running mean
     is tracked per stream)."""
