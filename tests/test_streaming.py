@@ -315,6 +315,26 @@ def test_pallas_batched_streams_match_single(golden_q4):
     np.testing.assert_allclose(yb[1], 0.3 * y1, rtol=1e-3, atol=1e-5)
 
 
+def test_pallas_device_emit_matches_host(golden_q4):
+    """emit='device' returns committed audio as device arrays (no host sync
+    per chunk) that are bit-identical to the host-emit path — same device
+    program, only the materialisation point differs."""
+    g = golden_q4
+    proc = LWS(int(g.fsize), int(g.fshift), L=int(g.L), dtype=jnp.float64,
+               online_iterations=2)
+    x = _padded_signal(proc, np.asarray(g.x))[:6000]
+
+    sh = _pallas_stream(proc, 2, 1.0)
+    yh = np.concatenate([sh.push_block(x), sh.flush()], axis=-1)
+
+    sd = StreamingLWS(proc, iterations=2, mean_amp=1.0, backend="pallas",
+                      interpret=True, emit="device")
+    outs = [sd.push_block(x), sd.flush()]
+    assert all(isinstance(o, jnp.ndarray) for o in outs)
+    yd = np.asarray(jnp.concatenate(outs, axis=-1))
+    np.testing.assert_array_equal(yd, yh)
+
+
 def test_stream_stats_recorded():
     """Push entry points record latency/throughput into .stats."""
     import lws_tpu
