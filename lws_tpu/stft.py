@@ -71,6 +71,23 @@ def frame_signal(x: jnp.ndarray, fsize: int, fshift: int, M: int) -> jnp.ndarray
     return jnp.concatenate(cols, axis=-1)[..., :fsize]
 
 
+def overlap_add(frames: jnp.ndarray, fshift: int) -> jnp.ndarray:
+    """(..., M, fsize) windowed frames -> (..., (M+K)*fshift) overlap-added
+    signal, the inverse of frame_signal's slice+reshape layout: K shifted
+    column sums, no scatter and no O(M*fsize) index constant. The true
+    signal occupies the first fshift*(M-1) + fsize samples; the rest is
+    zero slack (callers slice)."""
+    M, fsize = frames.shape[-2], frames.shape[-1]
+    K = -(-fsize // fshift)
+    lead = frames.shape[:-2]
+    fpad = jnp.pad(frames, [(0, 0)] * len(lead) + [(0, 0), (0, K * fshift - fsize)])
+    signal = jnp.zeros(lead + ((M + K) * fshift,), dtype=frames.dtype)
+    for k in range(K):
+        seg = fpad[..., :, k * fshift:(k + 1) * fshift].reshape(lead + (M * fshift,))
+        signal = signal.at[..., k * fshift:(k + M) * fshift].add(seg)
+    return signal
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def _stft_jit(x, awin, fsize, fshift, fftsize, perfectrec):
     n = x.shape[-1]
@@ -119,18 +136,8 @@ def _istft_jit(sr, si, swin, fshift, fftsize, perfectrec):
     frames = jnp.fft.irfft(spec, n=fftsize, axis=-1)[..., :fsize]
     frames = frames * swin[:fsize].astype(sr.dtype)
 
-    # overlap-add via K shifted column sums (inverse of frame_signal's
-    # slice+reshape layout): no scatter and no O(M*fsize) index constant
     T = fshift * (M - 1) + fsize
-    K = -(-fsize // fshift)
-    lead = frames.shape[:-2]
-    fpad = jnp.pad(frames, [(0, 0)] * len(lead) + [(0, 0), (0, K * fshift - fsize)])
-    total = (M + K) * fshift
-    signal = jnp.zeros(lead + (total,), dtype=sr.dtype)
-    for k in range(K):
-        seg = fpad[..., :, k * fshift:(k + 1) * fshift].reshape(lead + (M * fshift,))
-        signal = signal.at[..., k * fshift:(k + M) * fshift].add(seg)
-    signal = signal[..., :T]
+    signal = overlap_add(frames, fshift)[..., :T]
 
     if perfectrec:
         residual = fsize % fshift

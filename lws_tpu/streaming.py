@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from .core.stencil import freq_extend, update_frame
+from .stft import frame_signal, overlap_add
 
 __all__ = ["StreamingLWS", "StreamStats"]
 
@@ -291,19 +292,13 @@ class StreamingLWS:
             # chunk instead of two committed-plane transfers + host FFTs);
             # rows outside [skip, end) are pipeline-fill / flush-padding
             # garbage and are masked before they can pollute the overlap
-            B, n, _ = cr.shape
+            n = cr.shape[1]
             rows = jnp.arange(n)
             valid = ((rows >= skip) & (rows < end)).astype(cr.dtype)
             spec = (cr + 1j * ci) * valid[None, :, None]  # complex only in-jit
             frames = jnp.fft.irfft(spec, n=fftsize, axis=-1)[..., :fsize]
             frames = frames * jnp.asarray(swin, dtype=cr.dtype)
-            K = -(-fsize // fshift)
-            fpad = jnp.pad(frames, ((0, 0), (0, 0), (0, K * fshift - fsize)))
-            ws = jnp.zeros((B, (n + K) * fshift), cr.dtype)
-            ws = ws.at[:, :fsize].add(tail)
-            for k in range(K):
-                seg = fpad[:, :, k * fshift:(k + 1) * fshift].reshape(B, n * fshift)
-                ws = ws.at[:, k * fshift:(k + n) * fshift].add(seg)
+            ws = overlap_add(frames, fshift).at[:, :fsize].add(tail)
             audio = ws[:, :n * fshift]
             new_tail = ws[:, n * fshift:n * fshift + fsize]
             return audio, cr, ci, (*new_k, new_tail)
@@ -327,8 +322,7 @@ class StreamingLWS:
         def from_samples(x, state, n_live, skip, end):
             # x: (S, (n-1)*fshift + fsize) raw samples
             n = (x.shape[-1] - (fsize - fshift)) // fshift
-            frames = jnp.stack(
-                [x[:, j * fshift:j * fshift + fsize] for j in range(n)], axis=1)
+            frames = frame_signal(x, fsize, fshift, n)
             spec = jnp.fft.rfft(frames * jnp.asarray(awin, x.dtype),
                                 n=fftsize, axis=-1)
             return from_ri(spec.real.astype(x.dtype), spec.imag.astype(x.dtype),
