@@ -118,3 +118,25 @@ def test_24bit_wav_roundtrip(tmp_path):
     y, sr = read_wav(path)
     assert sr == 16000
     np.testing.assert_allclose(y, x, atol=2 ** -23)
+
+
+def test_frame_signal_overlap_add_roundtrip():
+    """The shared framing/OLA helpers invert each other: overlap-adding
+    unwindowed frames reproduces each sample scaled by its frame coverage
+    count (the COLA identity both istft and the streaming emission rely on)."""
+    import jax.numpy as jnp
+    from lws_tpu.stft import frame_signal, overlap_add
+    rng = np.random.default_rng(7)
+    for fsize, fshift in [(512, 128), (500, 160), (256, 256)]:
+        M = 11
+        n = (M - 1) * fshift + fsize
+        x = rng.standard_normal(n)
+        frames = frame_signal(jnp.asarray(x), fsize, fshift, M)
+        np.testing.assert_array_equal(
+            np.asarray(frames[3]), x[3 * fshift:3 * fshift + fsize])
+        y = np.asarray(overlap_add(frames, fshift))[:n]
+        # coverage count of sample t: frames m with m*fshift <= t < m*fshift+fsize
+        t = np.arange(n)
+        cover = (np.minimum(t // fshift, M - 1)
+                 - np.maximum(0, (t - fsize) // fshift + 1) + 1)
+        np.testing.assert_allclose(y, x * cover, rtol=1e-12, atol=1e-12)
