@@ -371,6 +371,15 @@ class LWS:
                 "pallas backend requested but unsupported for the online stage")
         if ok:
             return self._run_flat(self._online_packed, sr, si, thresholds)
+        if jax.default_backend() == "tpu" and self.backend != "xla":
+            # unlike batch/no-future there is no Jacobi-order escape hatch:
+            # RTISI-LA's frame-commit pipeline is inherently sequential, so
+            # the only fallback is the frame-scan — warn about the compile
+            warnings.warn(
+                "lws_tpu: the streaming online kernel does not support this "
+                "configuration (weight sets exceed VMEM or look_ahead > 8); "
+                "falling back to the frame-sequential XLA scan, which can "
+                "compile very slowly on TPU")
         return self._online_xla(sr, si, thresholds=thresholds)
 
     @staticmethod

@@ -441,3 +441,30 @@ def test_online_gate_independent_of_tiled_plan(monkeypatch):
     assert proc._online_ok((sds, sds))           # the online kernel can
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     assert proc._pallas_base_ok()                # so _online_fn routes Pallas
+
+
+def test_online_xla_fallback_warns_on_tpu(monkeypatch):
+    """When the online kernel cannot run a config on TPU (weight sets exceed
+    VMEM / look_ahead > 8), the silent fallback is the frame-sequential XLA
+    scan — the path the codebase documents as pathologically slow to
+    compile; the user must be warned (mirrors _xla_fallback's warning for
+    the batch stages)."""
+    import warnings as _w
+    import jax
+    proc = LWS(4096, 512, L=5, dtype=jnp.float32, look_ahead=3)
+    sds = (jnp.zeros((1, 8, 2049)), jnp.zeros((1, 8, 2049)))
+    assert not proc._online_ok(sds)  # LA=3 weight sets exceed VMEM at F=2049
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    called = {}
+    monkeypatch.setattr(proc, "_online_xla",
+                        lambda sr, si, thresholds: called.setdefault("ok", (sr, si)))
+    with pytest.warns(UserWarning, match="frame-sequential XLA scan"):
+        proc._online_fn(*sds, thresholds=jnp.ones((1,)))
+    assert "ok" in called
+    # an explicit backend="xla" is honoured silently
+    proc_x = LWS(4096, 512, L=5, dtype=jnp.float32, look_ahead=3, backend="xla")
+    monkeypatch.setattr(proc_x, "_online_xla",
+                        lambda sr, si, thresholds: (sr, si))
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        proc_x._online_fn(*sds, thresholds=jnp.ones((1,)))
