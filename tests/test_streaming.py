@@ -335,6 +335,31 @@ def test_pallas_device_emit_matches_host(golden_q4):
     np.testing.assert_array_equal(yd, yh)
 
 
+def test_pallas_stream_fuzz_geometries_vs_xla():
+    """The chunked pallas backend agrees with the XLA per-frame backend on
+    random geometries (fsize/fshift/L/LA), not just the golden q4 one —
+    full audio including the flush tail, fixed mean for determinism."""
+    rng = np.random.default_rng(21)
+    for fsize, fshift, L, LA in [(384, 96, 3, 2), (512, 160, 4, 1),
+                                 (256, 64, 5, 3)]:
+        proc = LWS(fsize, fshift, L=L, look_ahead=LA, dtype=jnp.float64,
+                   online_iterations=2)
+        n = 20 * fshift + fsize
+        t = np.arange(n) / 16000.0
+        x = (0.6 * np.sin(2 * np.pi * 220 * t)
+             + 0.1 * rng.standard_normal(n))
+        mean = float(np.mean(np.abs(proc.stft(x))))
+
+        sx = StreamingLWS(proc, iterations=2, mean_amp=mean, backend="xla")
+        yx = np.concatenate([sx.push(x), sx.flush()], axis=-1)
+        sp = StreamingLWS(proc, iterations=2, mean_amp=mean,
+                          backend="pallas", interpret=True, block_frames=8)
+        yp = np.concatenate([sp.push(x), sp.flush()], axis=-1)
+        assert yp.shape == yx.shape, (fsize, fshift, yp.shape, yx.shape)
+        np.testing.assert_allclose(yp, yx, rtol=1e-3, atol=1e-4,
+                                   err_msg=f"geom {(fsize, fshift, L, LA)}")
+
+
 def test_stream_stats_recorded():
     """Push entry points record latency/throughput into .stats."""
     import lws_tpu
