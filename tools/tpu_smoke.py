@@ -25,7 +25,12 @@ import numpy as np  # noqa: E402
 def main():
     import jax
 
-    plat = jax.devices()[0].platform.lower()
+    try:
+        plat = jax.devices()[0].platform.lower()
+    except Exception as e:  # backend init raises UNAVAILABLE when the
+        # TPU runtime/tunnel is down — an infra condition, not a failure
+        print(f"NO_TPU (backend init failed: {type(e).__name__}: {e})")
+        return 3
     if not ("tpu" in plat or "axon" in plat):
         print(f"NO_TPU (platform={plat})")
         return 3
@@ -74,6 +79,20 @@ def main():
     # |temp| near-cancellation amplifies f32 rounding on sparse updates;
     # a sequencing bug would show up at O(1), not O(1e-3)
     check("online", got, golden["online_sparse_out"], 8e-3)
+
+    print("chunked streaming (online_chunk + device OLA) vs offline, sparse:")
+    from lws_tpu.streaming import StreamingLWS
+    A_in = golden["online_sparse_in"]
+    thr_on = golden["online_sparse_thr"]
+    # fixed mean_amp = the offline threshold scale -> the stream reproduces
+    # the offline online_lws commit-for-commit (see test_streaming.py)
+    stream = StreamingLWS(p2, thresholds=thr_on,
+                          mean_amp=float(np.abs(A_in).mean()),
+                          keep_frames=True, backend="pallas")
+    stream.push_frames(A_in)
+    stream.flush()
+    com = np.stack(stream.committed_frames)
+    check("streaming", com, golden["online_sparse_out"], 8e-3)
 
     print("dense run_lws (music pipeline) quality parity vs reference golden:")
     pm = LWS(512, 128, L=5, mode="music", dtype=jnp.float32)
