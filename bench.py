@@ -248,6 +248,61 @@ def write_table(rows, backend):
                     f"{cons} |\n")
 
 
+def _backend_reachable(budget=300, tries=3):
+    """Probe the JAX backend in a subprocess.
+
+    A dead axon tunnel makes backend init HANG rather than raise, which
+    would hang the whole bench run (observed live). Returns the backend
+    name, or None if init never comes back within the budget."""
+    import subprocess
+    for i in range(tries):
+        try:
+            p = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.default_backend())"],
+                capture_output=True, text=True, timeout=budget)
+            if p.returncode == 0 and p.stdout.strip():
+                return p.stdout.strip().splitlines()[-1]
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"[bench] backend probe {i + 1}/{tries} failed; retrying",
+              file=sys.stderr)
+        time.sleep(20 * (i + 1))
+    return None
+
+
+def _stale_fallback():
+    """TPU unreachable: emit the last committed BENCHMARKS.md numbers,
+    clearly labelled stale, instead of hanging or emitting nothing."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCHMARKS.md")
+    configs = {}
+    try:
+        with open(path) as f:
+            for line in f:
+                cells = [c.strip() for c in line.strip().strip("|").split("|")]
+                if len(cells) == 6 and cells[0] not in ("config", "---"):
+                    try:
+                        configs[cells[0]] = float(cells[4])
+                    except ValueError:
+                        pass
+    except OSError:
+        pass
+    value = configs.get("batch")
+    print("[bench] TPU backend unreachable — reporting the last committed "
+          "BENCHMARKS.md numbers (stale)", file=sys.stderr)
+    print(json.dumps({
+        "metric": "audio_seconds_per_second_per_chip",
+        "value": value,
+        "unit": "audio-s/s/chip",
+        "vs_baseline": round(value / 100.0, 3) if value else None,
+        "configs": configs,
+        "stale": True,
+        "note": "TPU backend unreachable at bench time; values are the "
+                "last committed on-chip measurements from BENCHMARKS.md",
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=int, default=0, choices=range(0, 7),
@@ -255,6 +310,11 @@ def main():
     ap.add_argument("--no-write", action="store_true",
                     help="skip regenerating BENCHMARKS.md")
     args = ap.parse_args()
+
+    backend = _backend_reachable()
+    if backend is None:
+        _stale_fallback()
+        return
 
     import jax
     on_tpu = jax.default_backend() != "cpu"

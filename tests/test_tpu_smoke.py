@@ -22,6 +22,18 @@ SCRIPT = os.path.join(os.path.dirname(__file__), os.pardir, "tools", "tpu_smoke.
 def test_tpu_smoke():
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    # A dead/half-dead TPU tunnel makes jax.devices() hang rather than raise,
+    # which would otherwise burn the full smoke timeout (30 min). Probe the
+    # backend cheaply first and skip fast when it is unreachable.
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=240, env=env)
+    except subprocess.TimeoutExpired:
+        pytest.skip("TPU backend probe timed out — tunnel unreachable")
+    if probe.returncode != 0:
+        pytest.skip(f"TPU backend probe failed: {probe.stderr.strip()[-200:]}")
     try:
         proc = subprocess.run([sys.executable, SCRIPT], capture_output=True,
                               text=True, timeout=1800, env=env)
