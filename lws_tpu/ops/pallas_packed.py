@@ -160,7 +160,7 @@ def _color_rounds(tr, ti, row_er, row_ei, amp_m, thr, scheme,
 
 def _sweeps_kernel(thr_ref, mean_ref, sr_hbm, si_hbm, amp_hbm, wr_ref, wi_ref,
                    osr_hbm, osi_hbm, xr, xi, am, sem, *, T, F, Q, L, iters,
-                   micro, nz, inner_passes, inner_scheme, P):
+                   micro, nz, inner_passes, inner_scheme, P, frame_unroll=1):
     # scratch/slab lane width is padded to a 128 multiple (DMA requires
     # tile-aligned transfers); compute slices values down to F lanes
     """One program = P utterances. Scratch layout (rows, P, F); frame t at
@@ -243,7 +243,10 @@ def _sweeps_kernel(thr_ref, mean_ref, sr_hbm, si_hbm, amp_hbm, wr_ref, wi_ref,
             win_i = jnp.concatenate([win_i[1:Q1], ei, win_i[Q1 + 1:], fi], axis=0)
             return win_r, win_i
 
-        jax.lax.fori_loop(0, T, frame_body, (win_r0, win_i0), unroll=False)
+        # frame_unroll > 1 lets Mosaic fold the per-frame window-shift
+        # concats into register renaming across the unrolled bodies
+        jax.lax.fori_loop(0, T, frame_body, (win_r0, win_i0),
+                          unroll=frame_unroll if frame_unroll > 1 else False)
         return _
 
     def group_update(it, grp, _):
@@ -323,6 +326,7 @@ def packed_lws_sweeps(
     inner_scheme: str = "jacobi",
     storage=None,
     interpret: bool = False,
+    frame_unroll: int = 1,
 ):
     """Batch/no-future sweeps, P utterances per program. (B, T, F) planes.
 
@@ -373,7 +377,7 @@ def packed_lws_sweeps(
     kern = functools.partial(
         _sweeps_kernel, T=T, F=F, Q=Q, L=L, iters=iters, micro=micro,
         nz=st.nz, inner_passes=int(inner_passes), inner_scheme=inner_scheme,
-        P=P)
+        P=P, frame_unroll=int(frame_unroll))
 
     rows = (Q - 1) + n_groups * micro + (Q - 1) + micro  # + read slack
     hbm = pl.BlockSpec(memory_space=pl.ANY)
@@ -843,7 +847,7 @@ def online_chunk(sr, si, state, means, st_la, st_ai, st_af, thresholds,
 def _tiled_sweeps_kernel(thr_ref, mean_ref, s_hbm_r, s_hbm_i, amp_hbm,
                          wr_ref, wi_ref, osr_hbm, osi_hbm, xr, xi, am, sem,
                          *, T, F, Q, L, iters, micro, nz, inner_passes,
-                         inner_scheme, P, TT):
+                         inner_scheme, P, TT, frame_unroll=1):
     """Long-T variant: the evolving state lives in the (pre-halo-padded)
     OUTPUT slab in HBM; each iteration sweeps time tiles of TT frames,
     DMA-ing tile+halo in and the updated tile out. Because tiles are
@@ -922,7 +926,8 @@ def _tiled_sweeps_kernel(thr_ref, mean_ref, s_hbm_r, s_hbm_i, amp_hbm,
             win_i = jnp.concatenate([win_i[1:Q1], ei, win_i[Q1 + 1:], fi], axis=0)
             return win_r, win_i
 
-        jax.lax.fori_loop(0, TT, frame_body, (win_r0, win_i0), unroll=False)
+        jax.lax.fori_loop(0, TT, frame_body, (win_r0, win_i0),
+                          unroll=frame_unroll if frame_unroll > 1 else False)
 
     def tile_sweep(it, k, _):
         thr = thr_ref[it] * mean_amp
@@ -1010,6 +1015,7 @@ def tiled_lws_sweeps(
     interpret: bool = False,
     halo: tuple | None = None,
     mean_amp: jnp.ndarray | None = None,
+    frame_unroll: int = 1,
 ):
     """Batch/no-future sweeps for arbitrary T: exact same frame order as
     packed_lws_sweeps, with the state streamed through VMEM in time tiles.
@@ -1111,7 +1117,7 @@ def tiled_lws_sweeps(
     kern = functools.partial(
         _tiled_sweeps_kernel, T=T, F=F, Q=Q, L=L, iters=iters, micro=micro,
         nz=st.nz, inner_passes=int(inner_passes), inner_scheme=inner_scheme,
-        P=P, TT=TT)
+        P=P, TT=TT, frame_unroll=int(frame_unroll))
 
     hbm = pl.BlockSpec(memory_space=pl.ANY)
     wspec = pl.BlockSpec((2 * Q - 1, 2 * L + 1, F), lambda g: (0, 0, 0),
