@@ -265,15 +265,21 @@ def _backend_reachable(budget=300, tries=3):
                 return p.stdout.strip().splitlines()[-1]
         except subprocess.TimeoutExpired:
             pass
-        print(f"[bench] backend probe {i + 1}/{tries} failed; retrying",
-              file=sys.stderr)
-        time.sleep(20 * (i + 1))
+        if i + 1 < tries:
+            print(f"[bench] backend probe {i + 1}/{tries} failed; retrying",
+                  file=sys.stderr)
+            time.sleep(20 * (i + 1))
+        else:
+            print(f"[bench] backend probe {i + 1}/{tries} failed",
+                  file=sys.stderr)
     return None
 
 
-def _stale_fallback():
+def _stale_fallback(config=0):
     """TPU unreachable: emit the last committed BENCHMARKS.md numbers,
-    clearly labelled stale, instead of hanging or emitting nothing."""
+    clearly labelled stale, instead of hanging or emitting nothing.
+    Honours --config N: a non-batch single-config run is name-prefixed and
+    carries no vs_baseline, like the live path."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BENCHMARKS.md")
     configs = {}
@@ -288,15 +294,21 @@ def _stale_fallback():
                         pass
     except OSError:
         pass
-    value = configs.get("batch")
+    names = {1: "batch", 2: "pipeline", 3: "online", 4: "vocoder",
+             5: "longform", 6: "streaming"}
+    head = names.get(config, "batch")
+    value = configs.get(head)
+    is_headline = head == "batch"
     print("[bench] TPU backend unreachable — reporting the last committed "
           "BENCHMARKS.md numbers (stale)", file=sys.stderr)
     print(json.dumps({
-        "metric": "audio_seconds_per_second_per_chip",
+        "metric": ("audio_seconds_per_second_per_chip" if is_headline
+                   else f"{head}_audio_seconds_per_second_per_chip"),
         "value": value,
         "unit": "audio-s/s/chip",
-        "vs_baseline": round(value / 100.0, 3) if value else None,
-        "configs": configs,
+        "vs_baseline": (round(value / 100.0, 3)
+                        if is_headline and value else None),
+        "configs": configs if not config else {head: value},
         "stale": True,
         "note": "TPU backend unreachable at bench time; values are the "
                 "last committed on-chip measurements from BENCHMARKS.md",
@@ -313,7 +325,7 @@ def main():
 
     backend = _backend_reachable()
     if backend is None:
-        _stale_fallback()
+        _stale_fallback(args.config)
         return
 
     import jax

@@ -11,7 +11,7 @@ build scales (SURVEY.md 2.6): utterance batches shard over the 'data' mesh
 axis (no cross-item communication anywhere in LWS), and long spectrograms
 shard frames over 'time' for batch sweeps with a (Q-1)-frame ppermute halo
 exchange per sweep. On a real pod, use lws_tpu.parallel.init_distributed()
-first and make_host_mesh() so halos ride ICI (see docs/MIGRATION.md).
+first and make_host_mesh() so halos ride ICI (see docs/MULTIHOST.md).
 """
 import os
 import sys
@@ -45,9 +45,10 @@ def main():
     batch = np.stack([np.sin(2 * np.pi * (100 + 30 * i) * t)
                       + 0.1 * rng.standard_normal(t.size)
                       for i in range(4 * mesh.shape["data"])])
+    import jax.numpy as jnp
     sr, si = proc.stft_ri(batch)                  # split planes stay on device
-    amp = np.hypot(np.asarray(sr), np.asarray(si))
-    pair = (amp, np.zeros_like(amp))
+    amp = jnp.hypot(sr, si)
+    pair = (amp, jnp.zeros_like(amp))
     out = data_parallel_run(lambda r, i: proc.run_lws((r, i)), pair, mesh)
     cons = np.asarray(proc.get_consistency(out))
     print(f"data-parallel run_lws: {batch.shape[0]} utterances, "

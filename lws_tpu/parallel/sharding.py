@@ -152,7 +152,8 @@ def sharded_lws_sweeps(
 
             def frame_body(x, xs):
                 m, amp_m = xs
-                return update_frame(x[0], x[1], m, amp_m, st, thr, inner_passes), None
+                return update_frame(x[0], x[1], m, amp_m, st, thr,
+                                    inner_passes, inner_scheme), None
 
             (xr, xi), _ = lax.scan(frame_body, (xr, xi), (jnp.arange(T_loc), amp_t))
             return (xr[..., Q - 1:Q - 1 + T_loc, L:L + F],

@@ -468,12 +468,31 @@ class LWS:
             pair = self._online_fn(*pair, thresholds=thr)
         return self._ret(pair, was_pair)
 
-    def batch_lws(self, S, iterations=None, thresholds=None, mesh=None):
+    def _sharded_pack(self, pair, n_time):
+        """Workable tiled-kernel pack for the per-shard geometry of a
+        time-sharded call, or None when the tiled kernel cannot run it."""
+        from .ops.pallas_packed import tiled_supported
+        F = pair[0].shape[-1]
+        B = int(np.prod(pair[0].shape[:-2])) if pair[0].ndim > 2 else 1
+        isz = (self.pallas_storage or jnp.dtype(self.rdtype)).itemsize
+        packs = (self.pallas_pack,) if self.pallas_pack <= 8 else (self.pallas_pack, 8)
+        for p in packs:
+            if tiled_supported(F, self._Qi, self.L, pack=p,
+                               micro=self.pallas_micro, B=B, itemsize=isz):
+                return p
+        return None
+
+    def batch_lws(self, S, iterations=None, thresholds=None, mesh=None,
+                  kernel=None, sweeps_per_exchange=1):
         """Full batch LWS sweeps.
 
         With `mesh` (a ('data','time') jax Mesh), long spectrograms run
-        time-sharded with per-sweep halo exchange - the long-form multi-host
-        path (see lws_tpu.parallel).
+        time-sharded with per-round halo exchange - the long-form multi-host
+        path (see lws_tpu.parallel). `kernel` picks the per-shard sweep
+        implementation: None (default) auto-selects the TPU-fast Pallas
+        tiled kernel when it applies (same gates as the unsharded path) and
+        the portable XLA scan otherwise; "tiled"/"xla" force one.
+        `sweeps_per_exchange` trades halo traffic for cross-shard staleness.
         """
         if iterations is None:
             iterations = self.batch_iterations
@@ -485,9 +504,24 @@ class LWS:
             if mesh is not None:
                 from .parallel import shard_pair, sharded_lws_sweeps
                 pair = shard_pair(pair, mesh, time_sharded=True)
-                pair = sharded_lws_sweeps(*pair, st=self._st_batch, thresholds=thr,
-                                          mesh=mesh, order=self.order,
-                                          inner_passes=self.inner_passes)
+                n_time = mesh.shape["time"]
+                pack = self._sharded_pack(pair, n_time)
+                if kernel is None:
+                    tiled_ok = (self._pallas_base_ok()
+                                and self.pallas_micro == 1 and pack is not None)
+                    kernel = "tiled" if tiled_ok else "xla"
+                kw = {}
+                if kernel == "tiled":
+                    if pack is None:
+                        raise ValueError(
+                            "tiled kernel cannot run this sharded geometry")
+                    kw = dict(pack=pack,
+                              interpret=jax.default_backend() != "tpu")
+                pair = sharded_lws_sweeps(
+                    *pair, st=self._st_batch, thresholds=thr, mesh=mesh,
+                    order=self.order, inner_passes=self.inner_passes,
+                    inner_scheme=self.inner_scheme, kernel=kernel,
+                    sweeps_per_exchange=int(sweeps_per_exchange), **kw)
             else:
                 pair = self._batch_fn(*pair, thresholds=thr)
         return self._ret(pair, was_pair)

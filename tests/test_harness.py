@@ -37,6 +37,19 @@ def test_bench_stale_fallback_contract(capsys):
     assert abs(d["vs_baseline"] - d["value"] / 100.0) < 1e-6
 
 
+def test_bench_stale_fallback_single_config(capsys):
+    """--config N during an outage must keep the single-config contract:
+    name-prefixed metric, no vs_baseline (never the wrong headline)."""
+    bench = _load_bench()
+    bench._stale_fallback(3)
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    d = json.loads(line)
+    assert d["metric"] == "online_audio_seconds_per_second_per_chip"
+    assert d["vs_baseline"] is None
+    assert list(d["configs"]) == ["online"]
+    assert d["stale"] is True
+
+
 def test_multichip_example_runs():
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)  # force the CPU backend path

@@ -471,15 +471,17 @@ def test_online_xla_fallback_warns_on_tpu(monkeypatch):
 
 
 def test_frame_unroll_is_bit_neutral(golden_q4):
-    """frame_unroll is a pure compiler hint: identical output at any level."""
-    from lws_tpu.ops.pallas_packed import tiled_lws_sweeps
+    """frame_unroll is a pure compiler hint: identical output at any level,
+    on both window-path kernels (packed and tiled)."""
+    from lws_tpu.ops.pallas_packed import packed_lws_sweeps, tiled_lws_sweeps
 
     p, A, pair = _setup(golden_q4, max_t=40)
     thr = jnp.asarray(get_thresholds(2, 100, 0.1, 1), dtype=jnp.float32)
-    base = tiled_lws_sweeps(*pair, st=p._st_batch, thresholds=thr, pack=2,
-                            interpret=True)
-    for u in (2, 7):
-        got = tiled_lws_sweeps(*pair, st=p._st_batch, thresholds=thr, pack=2,
-                               interpret=True, frame_unroll=u)
-        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(base[0]))
-        np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(base[1]))
+    for fn in (tiled_lws_sweeps, packed_lws_sweeps):
+        base = fn(*pair, st=p._st_batch, thresholds=thr, pack=2,
+                  interpret=True)
+        for u in (2, 7):
+            got = fn(*pair, st=p._st_batch, thresholds=thr, pack=2,
+                     interpret=True, frame_unroll=u)
+            np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(base[0]))
+            np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(base[1]))

@@ -179,3 +179,22 @@ def test_scaling_report_runs(golden_q4, eight_devices):
 def test_init_distributed_noop():
     from lws_tpu.parallel import init_distributed
     assert init_distributed() is False  # single-process: no-op
+
+
+def test_processor_mesh_kernel_selection(golden_q4, eight_devices):
+    """LWS.batch_lws(mesh=...) honours kernel= and both per-shard kernels
+    agree; the off-TPU auto choice is the XLA scan."""
+    g = golden_q4
+    p = LWS(int(g.fsize), int(g.fshift), L=int(g.L), dtype=jnp.float64)
+    A1 = np.abs(g.S).astype(np.complex128)
+    T = A1.shape[0] - (A1.shape[0] % 4)
+    A1 = A1[:T][None]
+    mesh = make_mesh(data=1, time=4)
+    out_auto = np.asarray(p.batch_lws(A1, iterations=4, mesh=mesh))
+    out_xla = np.asarray(p.batch_lws(A1, iterations=4, mesh=mesh, kernel="xla"))
+    out_tiled = np.asarray(p.batch_lws(A1, iterations=4, mesh=mesh,
+                                       kernel="tiled"))
+    # off-TPU the auto path is the XLA scan; the forced tiled path (interpret
+    # mode) runs the identical frame order -> same result
+    np.testing.assert_array_equal(out_auto, out_xla)
+    np.testing.assert_allclose(out_tiled, out_xla, atol=1e-12)

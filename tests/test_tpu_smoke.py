@@ -8,13 +8,32 @@ oracle and the reference sparse golden (see that script's docstring).
 Set SKIP_TPU_SMOKE=1 to skip (e.g. when iterating on unrelated code — the
 remote compile can take minutes on first run).
 """
+import importlib.util
 import os
 import subprocess
 import sys
 
 import pytest
 
-SCRIPT = os.path.join(os.path.dirname(__file__), os.pardir, "tools", "tpu_smoke.py")
+ROOT = os.path.join(os.path.dirname(__file__), os.pardir)
+SCRIPT = os.path.join(ROOT, "tools", "tpu_smoke.py")
+
+
+def _backend_reachable(env, budget=240):
+    """bench.py's subprocess probe (single try): a dead/half-dead tunnel
+    makes jax backend init hang rather than raise."""
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(ROOT, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    os_env = os.environ.copy()
+    os.environ.clear()
+    os.environ.update(env)
+    try:
+        return bench._backend_reachable(budget=budget, tries=1)
+    finally:
+        os.environ.clear()
+        os.environ.update(os_env)
 
 
 @pytest.mark.skipif(os.environ.get("SKIP_TPU_SMOKE") == "1",
@@ -25,15 +44,8 @@ def test_tpu_smoke():
     # A dead/half-dead TPU tunnel makes jax.devices() hang rather than raise,
     # which would otherwise burn the full smoke timeout (30 min). Probe the
     # backend cheaply first and skip fast when it is unreachable.
-    try:
-        probe = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; print(jax.devices()[0].platform)"],
-            capture_output=True, text=True, timeout=240, env=env)
-    except subprocess.TimeoutExpired:
-        pytest.skip("TPU backend probe timed out — tunnel unreachable")
-    if probe.returncode != 0:
-        pytest.skip(f"TPU backend probe failed: {probe.stderr.strip()[-200:]}")
+    if _backend_reachable(env) is None:
+        pytest.skip("TPU backend probe failed/timed out — tunnel unreachable")
     try:
         proc = subprocess.run([sys.executable, SCRIPT], capture_output=True,
                               text=True, timeout=1800, env=env)
