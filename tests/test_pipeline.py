@@ -164,3 +164,16 @@ def test_run_with_metrics(golden_q4):
     assert metrics[-1].consistency_db > metrics[0].consistency_db
     assert all(m.audio_seconds > 0 for m in metrics)
     assert out.shape == A.shape
+
+
+def test_silence_is_finite_and_silent():
+    """Degenerate all-zero spectrograms flow through every schedule without
+    NaN/Inf (the phase update keeps old values when |temp| == 0, mirroring
+    the reference's abstemp > 0 guard, lwslib.cpp:134) and stay zero."""
+    proc = LWS(512, 128, mode="music")
+    Z = np.zeros((1, 40, 257), dtype=np.complex128)
+    for fn in (proc.run_lws, proc.batch_lws, proc.nofuture_lws, proc.online_lws):
+        out = np.asarray(fn(Z))
+        assert np.isfinite(out).all()
+        assert (out == 0).all()
+    assert np.isfinite(np.asarray(proc.istft(Z))).all()
