@@ -92,7 +92,7 @@ def load_checkpoint(path, fingerprint=None):
 
 def resumable_lws(proc, S, stage="batch", iterations=None, thresholds=None,
                   checkpoint_path=None, checkpoint_every=25, max_retries=2,
-                  cleanup=True, progress=None):
+                  cleanup=True, progress=None, mesh=None, **stage_kwargs):
     """Run a multi-sweep LWS stage with periodic checkpoints and retry.
 
     proc: an `lws_tpu.LWS` processor. S: spectrogram (complex array or
@@ -103,6 +103,9 @@ def resumable_lws(proc, S, stage="batch", iterations=None, thresholds=None,
     smaller = finer recovery granularity, more host round-trips).
     progress: optional callback (done_iterations, total_iterations) called
     after each persisted chunk. cleanup: delete the checkpoint on success.
+    mesh / **stage_kwargs: forwarded to the stage (e.g. mesh=, kernel=,
+    sweeps_per_exchange= for time-sharded multi-chip batch sweeps — the
+    long-job recovery story of docs/MULTIHOST.md).
 
     Returns the stage output in the same form as the input (complex array
     in -> complex array out, pair in -> pair out).
@@ -114,6 +117,10 @@ def resumable_lws(proc, S, stage="batch", iterations=None, thresholds=None,
         # use StreamingLWS for an online stream with carryable state.
         raise ValueError(f"unsupported stage {stage!r} (batch or nofuture)")
     stage_fn = getattr(proc, f"{stage}_lws")
+    if mesh is not None:
+        if stage != "batch":
+            raise ValueError("mesh sharding applies to the batch stage only")
+        stage_kwargs = dict(stage_kwargs, mesh=mesh)
     if iterations is None:
         iterations = getattr(proc, f"{stage}_iterations")
     if thresholds is None:
@@ -152,7 +159,7 @@ def resumable_lws(proc, S, stage="batch", iterations=None, thresholds=None,
                 # lazily at np.asarray, and rebinding earlier would make the
                 # retry re-run the chunk from the failed call's outputs
                 # (double-applying its thresholds)
-                nsr, nsi = stage_fn((sr, si), thresholds=chunk)
+                nsr, nsi = stage_fn((sr, si), thresholds=chunk, **stage_kwargs)
                 nsr, nsi = np.asarray(nsr), np.asarray(nsi)
                 sr, si = nsr, nsi
                 break

@@ -178,3 +178,23 @@ def test_nofuture_stage_and_pair_io(proc, spec, tmp_path):
 def test_online_stage_rejected(proc, spec):
     with pytest.raises(ValueError, match="unsupported stage"):
         resumable_lws(proc, spec, stage="online", iterations=4)
+
+
+def test_mesh_passthrough_matches_direct(proc, spec, tmp_path):
+    """resumable_lws(mesh=...) runs the time-sharded batch path per chunk and
+    reproduces the direct mesh run (docs/MULTIHOST.md long-job recovery)."""
+    import jax
+    from lws_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    A = spec[:spec.shape[0] - spec.shape[0] % 4][None]  # (1, T%4==0, F)
+    mesh = make_mesh(data=1, time=4)
+    ref = np.asarray(proc.batch_lws(A, iterations=8, mesh=mesh))
+    out = np.asarray(lws_tpu.resumable_lws(
+        proc, A, iterations=8, checkpoint_path=str(tmp_path / "ck.npz"),
+        checkpoint_every=3, mesh=mesh))
+    np.testing.assert_allclose(out, ref, atol=1e-10)
+    with pytest.raises(ValueError):
+        lws_tpu.resumable_lws(proc, A, stage="nofuture", iterations=2,
+                              mesh=mesh)
