@@ -1173,6 +1173,7 @@ def segmented_lws_sweeps(
     inner_scheme: str = "jacobi",
     storage=None,
     interpret: bool = False,
+    frame_unroll: int = 1,
 ):
     """Batch/no-future sweeps with each utterance's time axis split into
     `segments` virtual utterances that fill the sublane pack.
@@ -1242,7 +1243,7 @@ def segmented_lws_sweeps(
             cr, ci, st, thr_block, micro=micro, pack=pack,
             inner_passes=inner_passes, inner_scheme=inner_scheme,
             storage=storage, interpret=interpret, halo=halo,
-            mean_amp=mean_seg)
+            mean_amp=mean_seg, frame_unroll=frame_unroll)
 
     cr, ci = seg_r, seg_i
     if rounds:

@@ -88,6 +88,7 @@ class LWS:
         pallas_micro=1,
         pallas_pack=16,
         pallas_storage=None,
+        pallas_unroll=1,
         auto_segment=True,
     ):
         if isinstance(awin_or_fsize, (int, np.integer)):
@@ -132,6 +133,12 @@ class LWS:
         # stays f32); e.g. LWS(..., pallas_storage="bfloat16")
         self.pallas_storage = (jnp.dtype(pallas_storage)
                                if pallas_storage is not None else None)
+        # Mosaic frame-loop unroll hint for the batch/no-future sweep
+        # kernels (bit-neutral: identical output at any level). >1 lets the
+        # compiler turn the per-frame register-window shift into register
+        # renaming across unrolled bodies; measured on hardware before
+        # changing the default (tools/unroll_experiment.py, PERF.md).
+        self.pallas_unroll = int(pallas_unroll)
         self.auto_segment = bool(auto_segment)
         # Q=2 couples every frame to its direct neighbours; any within-group
         # parallel update destabilises the iteration (measured), so fall back
@@ -212,19 +219,22 @@ class LWS:
         self._batch_tiled = jax.jit(functools.partial(
             tiled_lws_sweeps, st=self._st_batch, micro=self.pallas_micro,
             inner_passes=self.inner_passes,
-            inner_scheme=self.inner_scheme, storage=self.pallas_storage),
+            inner_scheme=self.inner_scheme, storage=self.pallas_storage,
+            frame_unroll=self.pallas_unroll),
             static_argnames=("pack",))
         self._nofuture_tiled = jax.jit(functools.partial(
             tiled_lws_sweeps, st=self._st_nofuture, micro=self.pallas_micro,
-            storage=self.pallas_storage), static_argnames=("pack",))
+            storage=self.pallas_storage, frame_unroll=self.pallas_unroll),
+            static_argnames=("pack",))
         self._batch_seg = jax.jit(functools.partial(
             segmented_lws_sweeps, st=self._st_batch, micro=self.pallas_micro,
             inner_passes=self.inner_passes,
-            inner_scheme=self.inner_scheme, storage=self.pallas_storage),
+            inner_scheme=self.inner_scheme, storage=self.pallas_storage,
+            frame_unroll=self.pallas_unroll),
             static_argnames=("segments", "sweeps_per_exchange", "pack"))
         self._nofuture_seg = jax.jit(functools.partial(
             segmented_lws_sweeps, st=self._st_nofuture, micro=self.pallas_micro,
-            storage=self.pallas_storage),
+            storage=self.pallas_storage, frame_unroll=self.pallas_unroll),
             static_argnames=("segments", "sweeps_per_exchange", "pack"))
 
     def _pallas_base_ok(self):

@@ -1,4 +1,6 @@
 """Pallas whole-in-VMEM kernel vs the XLA reference path (interpret mode on CPU)."""
+import functools
+
 import numpy as np
 import pytest
 
@@ -472,12 +474,15 @@ def test_online_xla_fallback_warns_on_tpu(monkeypatch):
 
 def test_frame_unroll_is_bit_neutral(golden_q4):
     """frame_unroll is a pure compiler hint: identical output at any level,
-    on both window-path kernels (packed and tiled)."""
-    from lws_tpu.ops.pallas_packed import packed_lws_sweeps, tiled_lws_sweeps
+    on all three batch-path kernels (packed, tiled, segmented)."""
+    from lws_tpu.ops.pallas_packed import (packed_lws_sweeps,
+                                           segmented_lws_sweeps,
+                                           tiled_lws_sweeps)
 
     p, A, pair = _setup(golden_q4, max_t=40)
     thr = jnp.asarray(get_thresholds(2, 100, 0.1, 1), dtype=jnp.float32)
-    for fn in (tiled_lws_sweeps, packed_lws_sweeps):
+    seg = functools.partial(segmented_lws_sweeps, segments=2)
+    for fn in (tiled_lws_sweeps, packed_lws_sweeps, seg):
         base = fn(*pair, st=p._st_batch, thresholds=thr, pack=2,
                   interpret=True)
         for u in (2, 7):
@@ -485,3 +490,15 @@ def test_frame_unroll_is_bit_neutral(golden_q4):
                      interpret=True, frame_unroll=u)
             np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(base[0]))
             np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(base[1]))
+
+
+def test_pallas_unroll_processor_plumbing(monkeypatch):
+    """LWS(pallas_unroll=k) reaches every tiled/segmented kernel partial."""
+    from lws_tpu import LWS
+
+    proc = LWS(512, 128, dtype=jnp.float32, pallas_unroll=4)
+    assert proc.pallas_unroll == 4
+    for fn in (proc._batch_tiled, proc._nofuture_tiled,
+               proc._batch_seg, proc._nofuture_seg):
+        # jax.jit wraps functools.partial; the hint must be bound there
+        assert fn.__wrapped__.keywords["frame_unroll"] == 4
