@@ -154,13 +154,107 @@ def _color_rounds(tr, ti, row_er, row_ei, amp_m, thr, scheme,
     return cur_r, cur_i, er, ei
 
 
+def _window_sweep(xr, xi, am, wr_ref, wi_ref, nz, thr, *, Q, L, F, P, T_loop,
+                  nxt_cap, inner_scheme, has_centre, valid_fn=None,
+                  carry="stack", frame_unroll=1):
+    """micro=1 fast path shared by the packed and tiled sweep kernels: a
+    sliding register window of the 2Q-1 freq-extended frame rows around the
+    update point — one row read + one row write-back per frame instead of
+    reloading the whole patch (exact reference frame-GS order,
+    lwslib.cpp batch sweep structure).
+
+    `carry` selects the loop-carried representation of the window:
+      - "stack": two stacked (2Q-1, P, F+2L) arrays, shifted with a
+        concatenate every frame (the round-1 formulation).
+      - "rows": two tuples of (1, P, F+2L) rows; the shift is tuple
+        re-binding — pure SSA renaming with no data movement in the IR.
+        Combined with frame_unroll=2Q-1 the slot assignment is static
+        across each unrolled body, so Mosaic never has to copy the window.
+    Both are bit-identical by construction (same arithmetic in the same
+    order); which compiles faster is empirical (tools/unroll_experiment.py).
+    """
+    Q1 = Q - 1
+    cdt = jnp.promote_types(xr.dtype, jnp.float32)
+
+    def halo1(j):
+        rr = xr[pl.ds(j, 1)][..., :F].astype(cdt)
+        ri = xi[pl.ds(j, 1)][..., :F].astype(cdt)
+        return _freq_halo(rr, ri, F, L)
+
+    rows0 = [halo1(j) for j in range(2 * Q1 + 1)]
+    use_colors = inner_scheme != "jacobi" and has_centre
+
+    if carry == "rows":
+        init = (tuple(r for r, _ in rows0), tuple(i for _, i in rows0))
+        row = lambda w, dr: w[dr]  # noqa: E731
+        shift = lambda w, upd, new: w[1:Q1] + (upd,) + w[Q1 + 1:] + (new,)  # noqa: E731
+    else:
+        init = (jnp.concatenate([r for r, _ in rows0], axis=0),
+                jnp.concatenate([i for _, i in rows0], axis=0))
+        row = lambda w, dr: w[dr:dr + 1]  # noqa: E731
+        shift = lambda w, upd, new: jnp.concatenate(  # noqa: E731
+            [w[1:Q1], upd, w[Q1 + 1:], new], axis=0)
+
+    def frame_body(m, c):
+        win_r, win_i = c
+        tr = jnp.zeros((1, P, F), dtype=cdt)
+        ti = jnp.zeros_like(tr)
+        for dr in range(2 * Q - 1):
+            if use_colors and dr == Q1:
+                continue  # centre taps handled by the color rounds
+            rr = ri = None
+            for dk in range(2 * L + 1):
+                if not nz[dr, dk]:
+                    continue
+                if rr is None:
+                    rr, ri = row(win_r, dr), row(win_i, dr)
+                wr = wr_ref[dr, dk, :]
+                wi = wi_ref[dr, dk, :]
+                br = rr[..., dk:dk + F]
+                bi = ri[..., dk:dk + F]
+                tr += wr * br - wi * bi
+                ti += wr * bi + wi * br
+        amp_m = am[pl.ds(m, 1)][..., :F].astype(cdt)
+        valid = None if valid_fn is None else valid_fn(m)
+        cen_r, cen_i = row(win_r, Q1), row(win_i, Q1)
+        if use_colors:
+            new_r, new_i, er, ei = _color_rounds(
+                tr, ti, cen_r, cen_i, amp_m, thr, inner_scheme,
+                lambda dk: wr_ref[Q1, dk, :], lambda dk: wi_ref[Q1, dk, :],
+                nz[Q1], F, L, extra_cond=valid)
+        else:
+            a = jnp.sqrt(tr * tr + ti * ti)
+            scale = amp_m / jnp.where(a > 0, a, 1)
+            cond = (amp_m > thr) & (a > 0)
+            if valid is not None:
+                cond = cond & valid
+            old_r = cen_r[..., L:L + F]
+            old_i = cen_i[..., L:L + F]
+            new_r = jnp.where(cond, tr * scale, old_r)
+            new_i = jnp.where(cond, ti * scale, old_i)
+            er, ei = _freq_halo(new_r, new_i, F, L)
+        xr[pl.ds(Q1 + m, 1), :, :F] = new_r.astype(xr.dtype)  # write-back
+        xi[pl.ds(Q1 + m, 1), :, :F] = new_i.astype(xi.dtype)
+        # shift: drop the oldest row, re-centre, pull in frame m+Q (old)
+        nxt = jnp.minimum(m + 2 * Q1 + 1, nxt_cap)
+        fr, fi = _freq_halo(xr[pl.ds(nxt, 1)][..., :F].astype(cdt),
+                            xi[pl.ds(nxt, 1)][..., :F].astype(cdt), F, L)
+        return shift(win_r, er, fr), shift(win_i, ei, fi)
+
+    # frame_unroll > 1 lets the compiler fold the per-frame window shift
+    # into register renaming across the unrolled bodies
+    jax.lax.fori_loop(0, T_loop, frame_body, init,
+                      unroll=frame_unroll if frame_unroll > 1 else False)
+
+
 # ---------------------------------------------------------------------------
 # batch / no-future sweeps
 # ---------------------------------------------------------------------------
 
 def _sweeps_kernel(thr_ref, mean_ref, sr_hbm, si_hbm, amp_hbm, wr_ref, wi_ref,
                    osr_hbm, osi_hbm, xr, xi, am, sem, *, T, F, Q, L, iters,
-                   micro, nz, inner_passes, inner_scheme, P, frame_unroll=1):
+                   micro, nz, inner_passes, inner_scheme, P, frame_unroll=1,
+                   window_carry="stack"):
     # scratch/slab lane width is padded to a 128 multiple (DMA requires
     # tile-aligned transfers); compute slices values down to F lanes
     """One program = P utterances. Scratch layout (rows, P, F); frame t at
@@ -185,68 +279,10 @@ def _sweeps_kernel(thr_ref, mean_ref, sr_hbm, si_hbm, amp_hbm, wr_ref, wi_ref,
     cdt = jnp.promote_types(xr.dtype, jnp.float32)  # bf16 storage computes in f32
 
     def window_iter(it, _):
-        """micro=1 fast path: a sliding register window of the 2Q-1 frames
-        around the update point - one row read + one row write per frame
-        instead of reloading the whole patch (exact frame-GS order)."""
-        thr = thr_ref[it] * mean_amp
-
-        def halo1(j):
-            rr = xr[pl.ds(j, 1)][..., :F].astype(cdt)
-            ri = xi[pl.ds(j, 1)][..., :F].astype(cdt)
-            return _freq_halo(rr, ri, F, L)
-
-        rows0 = [halo1(j) for j in range(2 * Q1 + 1)]  # frames -Q1..Q1
-        win_r0 = jnp.concatenate([r for r, _i in rows0], axis=0)
-        win_i0 = jnp.concatenate([_i for r, _i in rows0], axis=0)
-
-        use_colors = inner_scheme != "jacobi" and has_centre
-
-        def frame_body(m, carry):
-            win_r, win_i = carry
-            tr = jnp.zeros((1, P, F), dtype=win_r.dtype)
-            ti = jnp.zeros_like(tr)
-            for dr in range(2 * Q - 1):
-                if use_colors and dr == Q1:
-                    continue  # centre taps handled by the color rounds
-                for dk in range(2 * L + 1):
-                    if not nz[dr, dk]:
-                        continue
-                    wr = wr_ref[dr, dk, :]
-                    wi = wi_ref[dr, dk, :]
-                    br = win_r[dr:dr + 1, :, dk:dk + F]
-                    bi = win_i[dr:dr + 1, :, dk:dk + F]
-                    tr += wr * br - wi * bi
-                    ti += wr * bi + wi * br
-            amp_m = am[pl.ds(m, 1)][..., :F].astype(cdt)
-            if use_colors:
-                new_r, new_i, er, ei = _color_rounds(
-                    tr, ti, win_r[Q1:Q1 + 1], win_i[Q1:Q1 + 1], amp_m, thr,
-                    inner_scheme, lambda dk: wr_ref[Q1, dk, :],
-                    lambda dk: wi_ref[Q1, dk, :], nz[Q1], F, L)
-            else:
-                a = jnp.sqrt(tr * tr + ti * ti)
-                scale = amp_m / jnp.where(a > 0, a, 1)
-                cond = (amp_m > thr) & (a > 0)
-                old_r = win_r[Q1:Q1 + 1, :, L:L + F]
-                old_i = win_i[Q1:Q1 + 1, :, L:L + F]
-                new_r = jnp.where(cond, tr * scale, old_r)
-                new_i = jnp.where(cond, ti * scale, old_i)
-                er, ei = _freq_halo(new_r, new_i, F, L)
-            xr[pl.ds(Q1 + m, 1), :, :F] = new_r.astype(xr.dtype)  # write-back
-            xi[pl.ds(Q1 + m, 1), :, :F] = new_i.astype(xi.dtype)
-            # shift: drop the oldest row, re-centre, pull in frame m+Q (old)
-            nxt = jnp.minimum(m + 2 * Q1 + 1, T + 2 * Q1 - 1)
-            nr = xr[pl.ds(nxt, 1)][..., :F].astype(cdt)
-            ni = xi[pl.ds(nxt, 1)][..., :F].astype(cdt)
-            fr, fi = _freq_halo(nr, ni, F, L)
-            win_r = jnp.concatenate([win_r[1:Q1], er, win_r[Q1 + 1:], fr], axis=0)
-            win_i = jnp.concatenate([win_i[1:Q1], ei, win_i[Q1 + 1:], fi], axis=0)
-            return win_r, win_i
-
-        # frame_unroll > 1 lets Mosaic fold the per-frame window-shift
-        # concats into register renaming across the unrolled bodies
-        jax.lax.fori_loop(0, T, frame_body, (win_r0, win_i0),
-                          unroll=frame_unroll if frame_unroll > 1 else False)
+        _window_sweep(xr, xi, am, wr_ref, wi_ref, nz, thr_ref[it] * mean_amp,
+                      Q=Q, L=L, F=F, P=P, T_loop=T, nxt_cap=T + 2 * Q1 - 1,
+                      inner_scheme=inner_scheme, has_centre=has_centre,
+                      carry=window_carry, frame_unroll=frame_unroll)
         return _
 
     def group_update(it, grp, _):
@@ -327,6 +363,7 @@ def packed_lws_sweeps(
     storage=None,
     interpret: bool = False,
     frame_unroll: int = 1,
+    window_carry: str = "stack",
 ):
     """Batch/no-future sweeps, P utterances per program. (B, T, F) planes.
 
@@ -377,7 +414,7 @@ def packed_lws_sweeps(
     kern = functools.partial(
         _sweeps_kernel, T=T, F=F, Q=Q, L=L, iters=iters, micro=micro,
         nz=st.nz, inner_passes=int(inner_passes), inner_scheme=inner_scheme,
-        P=P, frame_unroll=int(frame_unroll))
+        P=P, frame_unroll=int(frame_unroll), window_carry=window_carry)
 
     rows = (Q - 1) + n_groups * micro + (Q - 1) + micro  # + read slack
     hbm = pl.BlockSpec(memory_space=pl.ANY)
@@ -847,7 +884,8 @@ def online_chunk(sr, si, state, means, st_la, st_ai, st_af, thresholds,
 def _tiled_sweeps_kernel(thr_ref, mean_ref, s_hbm_r, s_hbm_i, amp_hbm,
                          wr_ref, wi_ref, osr_hbm, osi_hbm, xr, xi, am, sem,
                          *, T, F, Q, L, iters, micro, nz, inner_passes,
-                         inner_scheme, P, TT, frame_unroll=1):
+                         inner_scheme, P, TT, frame_unroll=1,
+                         window_carry="stack"):
     """Long-T variant: the evolving state lives in the (pre-halo-padded)
     OUTPUT slab in HBM; each iteration sweeps time tiles of TT frames,
     DMA-ing tile+halo in and the updated tile out. Because tiles are
@@ -871,63 +909,13 @@ def _tiled_sweeps_kernel(thr_ref, mean_ref, s_hbm_r, s_hbm_i, amp_hbm,
 
     def window_tile(thr, t0):
         """micro=1 fast path within a tile: sliding register window, one
-        row write-back + one row shift-in per frame (see _sweeps_kernel)."""
-        cdt = jnp.promote_types(xr.dtype, jnp.float32)
-
-        def halo1(j):
-            rr = xr[pl.ds(j, 1)][..., :F].astype(cdt)
-            ri = xi[pl.ds(j, 1)][..., :F].astype(cdt)
-            return _freq_halo(rr, ri, F, L)
-
-        rows0 = [halo1(j) for j in range(2 * Q1 + 1)]
-        win_r0 = jnp.concatenate([r for r, _i in rows0], axis=0)
-        win_i0 = jnp.concatenate([_i for r, _i in rows0], axis=0)
-
-        use_colors = inner_scheme != "jacobi" and has_centre
-
-        def frame_body(mm, carry):
-            win_r, win_i = carry
-            tr = jnp.zeros((1, P, F), dtype=win_r.dtype)
-            ti = jnp.zeros_like(tr)
-            for dr in range(2 * Q - 1):
-                if use_colors and dr == Q1:
-                    continue  # centre taps handled by the color rounds
-                for dk in range(2 * L + 1):
-                    if not nz[dr, dk]:
-                        continue
-                    wr = wr_ref[dr, dk, :]
-                    wi = wi_ref[dr, dk, :]
-                    tr += wr * win_r[dr:dr + 1, :, dk:dk + F] - wi * win_i[dr:dr + 1, :, dk:dk + F]
-                    ti += wr * win_i[dr:dr + 1, :, dk:dk + F] + wi * win_r[dr:dr + 1, :, dk:dk + F]
-            amp_m = am[pl.ds(mm, 1)][..., :F].astype(cdt)
-            valid = (t0 + mm) < T
-            if use_colors:
-                new_r, new_i, er, ei = _color_rounds(
-                    tr, ti, win_r[Q1:Q1 + 1], win_i[Q1:Q1 + 1], amp_m, thr,
-                    inner_scheme, lambda dk: wr_ref[Q1, dk, :],
-                    lambda dk: wi_ref[Q1, dk, :], nz[Q1], F, L,
-                    extra_cond=valid)
-            else:
-                a = jnp.sqrt(tr * tr + ti * ti)
-                scale = amp_m / jnp.where(a > 0, a, 1)
-                cond = (amp_m > thr) & (a > 0) & valid
-                old_r = win_r[Q1:Q1 + 1, :, L:L + F]
-                old_i = win_i[Q1:Q1 + 1, :, L:L + F]
-                new_r = jnp.where(cond, tr * scale, old_r)
-                new_i = jnp.where(cond, ti * scale, old_i)
-                er, ei = _freq_halo(new_r, new_i, F, L)
-            xr[pl.ds(Q1 + mm, 1), :, :F] = new_r.astype(xr.dtype)
-            xi[pl.ds(Q1 + mm, 1), :, :F] = new_i.astype(xi.dtype)
-            nxt = jnp.minimum(mm + 2 * Q1 + 1, TT + 2 * Q1 - 1)
-            nr = xr[pl.ds(nxt, 1)][..., :F].astype(cdt)
-            ni = xi[pl.ds(nxt, 1)][..., :F].astype(cdt)
-            fr, fi = _freq_halo(nr, ni, F, L)
-            win_r = jnp.concatenate([win_r[1:Q1], er, win_r[Q1 + 1:], fr], axis=0)
-            win_i = jnp.concatenate([win_i[1:Q1], ei, win_i[Q1 + 1:], fi], axis=0)
-            return win_r, win_i
-
-        jax.lax.fori_loop(0, TT, frame_body, (win_r0, win_i0),
-                          unroll=frame_unroll if frame_unroll > 1 else False)
+        row write-back + one row shift-in per frame (see _window_sweep)."""
+        _window_sweep(xr, xi, am, wr_ref, wi_ref, nz, thr,
+                      Q=Q, L=L, F=F, P=P, T_loop=TT,
+                      nxt_cap=TT + 2 * Q1 - 1, inner_scheme=inner_scheme,
+                      has_centre=has_centre,
+                      valid_fn=lambda mm: (t0 + mm) < T,
+                      carry=window_carry, frame_unroll=frame_unroll)
 
     def tile_sweep(it, k, _):
         thr = thr_ref[it] * mean_amp
@@ -1016,6 +1004,7 @@ def tiled_lws_sweeps(
     halo: tuple | None = None,
     mean_amp: jnp.ndarray | None = None,
     frame_unroll: int = 1,
+    window_carry: str = "stack",
 ):
     """Batch/no-future sweeps for arbitrary T: exact same frame order as
     packed_lws_sweeps, with the state streamed through VMEM in time tiles.
@@ -1117,7 +1106,7 @@ def tiled_lws_sweeps(
     kern = functools.partial(
         _tiled_sweeps_kernel, T=T, F=F, Q=Q, L=L, iters=iters, micro=micro,
         nz=st.nz, inner_passes=int(inner_passes), inner_scheme=inner_scheme,
-        P=P, TT=TT, frame_unroll=int(frame_unroll))
+        P=P, TT=TT, frame_unroll=int(frame_unroll), window_carry=window_carry)
 
     hbm = pl.BlockSpec(memory_space=pl.ANY)
     wspec = pl.BlockSpec((2 * Q - 1, 2 * L + 1, F), lambda g: (0, 0, 0),
@@ -1174,6 +1163,7 @@ def segmented_lws_sweeps(
     storage=None,
     interpret: bool = False,
     frame_unroll: int = 1,
+    window_carry: str = "stack",
 ):
     """Batch/no-future sweeps with each utterance's time axis split into
     `segments` virtual utterances that fill the sublane pack.
@@ -1243,7 +1233,8 @@ def segmented_lws_sweeps(
             cr, ci, st, thr_block, micro=micro, pack=pack,
             inner_passes=inner_passes, inner_scheme=inner_scheme,
             storage=storage, interpret=interpret, halo=halo,
-            mean_amp=mean_seg, frame_unroll=frame_unroll)
+            mean_amp=mean_seg, frame_unroll=frame_unroll,
+            window_carry=window_carry)
 
     cr, ci = seg_r, seg_i
     if rounds:

@@ -89,6 +89,7 @@ class LWS:
         pallas_pack=16,
         pallas_storage=None,
         pallas_unroll=1,
+        pallas_window="stack",
         auto_segment=True,
     ):
         if isinstance(awin_or_fsize, (int, np.integer)):
@@ -139,6 +140,12 @@ class LWS:
         # renaming across unrolled bodies; measured on hardware before
         # changing the default (tools/unroll_experiment.py, PERF.md).
         self.pallas_unroll = int(pallas_unroll)
+        # loop-carried window representation in the sweep kernels: "stack"
+        # (concat shift) or "rows" (tuple carry, SSA-renamed shift) — bit-
+        # identical outputs, different Mosaic compilation (PERF.md)
+        if pallas_window not in ("stack", "rows"):
+            raise ValueError("pallas_window must be 'stack' or 'rows'")
+        self.pallas_window = pallas_window
         self.auto_segment = bool(auto_segment)
         # Q=2 couples every frame to its direct neighbours; any within-group
         # parallel update destabilises the iteration (measured), so fall back
@@ -220,21 +227,25 @@ class LWS:
             tiled_lws_sweeps, st=self._st_batch, micro=self.pallas_micro,
             inner_passes=self.inner_passes,
             inner_scheme=self.inner_scheme, storage=self.pallas_storage,
-            frame_unroll=self.pallas_unroll),
+            frame_unroll=self.pallas_unroll,
+            window_carry=self.pallas_window),
             static_argnames=("pack",))
         self._nofuture_tiled = jax.jit(functools.partial(
             tiled_lws_sweeps, st=self._st_nofuture, micro=self.pallas_micro,
-            storage=self.pallas_storage, frame_unroll=self.pallas_unroll),
+            storage=self.pallas_storage, frame_unroll=self.pallas_unroll,
+            window_carry=self.pallas_window),
             static_argnames=("pack",))
         self._batch_seg = jax.jit(functools.partial(
             segmented_lws_sweeps, st=self._st_batch, micro=self.pallas_micro,
             inner_passes=self.inner_passes,
             inner_scheme=self.inner_scheme, storage=self.pallas_storage,
-            frame_unroll=self.pallas_unroll),
+            frame_unroll=self.pallas_unroll,
+            window_carry=self.pallas_window),
             static_argnames=("segments", "sweeps_per_exchange", "pack"))
         self._nofuture_seg = jax.jit(functools.partial(
             segmented_lws_sweeps, st=self._st_nofuture, micro=self.pallas_micro,
-            storage=self.pallas_storage, frame_unroll=self.pallas_unroll),
+            storage=self.pallas_storage, frame_unroll=self.pallas_unroll,
+            window_carry=self.pallas_window),
             static_argnames=("segments", "sweeps_per_exchange", "pack"))
 
     def _pallas_base_ok(self):

@@ -493,12 +493,40 @@ def test_frame_unroll_is_bit_neutral(golden_q4):
 
 
 def test_pallas_unroll_processor_plumbing(monkeypatch):
-    """LWS(pallas_unroll=k) reaches every tiled/segmented kernel partial."""
+    """LWS(pallas_unroll=k, pallas_window=...) reaches every tiled/segmented
+    kernel partial."""
     from lws_tpu import LWS
 
-    proc = LWS(512, 128, dtype=jnp.float32, pallas_unroll=4)
+    proc = LWS(512, 128, dtype=jnp.float32, pallas_unroll=4,
+               pallas_window="rows")
     assert proc.pallas_unroll == 4
     for fn in (proc._batch_tiled, proc._nofuture_tiled,
                proc._batch_seg, proc._nofuture_seg):
         # jax.jit wraps functools.partial; the hint must be bound there
         assert fn.__wrapped__.keywords["frame_unroll"] == 4
+        assert fn.__wrapped__.keywords["window_carry"] == "rows"
+    with pytest.raises(ValueError, match="pallas_window"):
+        LWS(512, 128, pallas_window="circular")
+
+
+@pytest.mark.parametrize("scheme", ["jacobi", "color2x3"])
+def test_rows_carry_is_bit_neutral(golden_q4, scheme):
+    """window_carry='rows' (tuple carry, SSA-renamed shift) is bit-identical
+    to the stacked-window formulation on all three batch-path kernels, with
+    and without frame unrolling, for both inner schemes."""
+    from lws_tpu.ops.pallas_packed import (packed_lws_sweeps,
+                                           segmented_lws_sweeps,
+                                           tiled_lws_sweeps)
+
+    p, A, pair = _setup(golden_q4, max_t=40)
+    thr = jnp.asarray(get_thresholds(2, 100, 0.1, 1), dtype=jnp.float32)
+    seg = functools.partial(segmented_lws_sweeps, segments=2)
+    for fn in (tiled_lws_sweeps, packed_lws_sweeps, seg):
+        base = fn(*pair, st=p._st_batch, thresholds=thr, pack=2,
+                  inner_scheme=scheme, interpret=True)
+        for u in (1, 7):
+            got = fn(*pair, st=p._st_batch, thresholds=thr, pack=2,
+                     inner_scheme=scheme, interpret=True,
+                     window_carry="rows", frame_unroll=u)
+            np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(base[0]))
+            np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(base[1]))

@@ -25,6 +25,8 @@ from bench import make_batch  # noqa: E402
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--unrolls", default="1,2,4,7")
+    ap.add_argument("--windows", default="stack,rows",
+                    help="window_carry modes to sweep")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--pack", type=int, default=16)
     args = ap.parse_args()
@@ -49,31 +51,39 @@ def main():
     print(f"start consistency {c0:.2f} dB", file=sys.stderr)
 
     results = []
-    for u in [int(s) for s in args.unrolls.split(",")]:
-        fn = jax.jit(functools.partial(
-            tiled_lws_sweeps, st=proc._st_batch, micro=1, pack=args.pack,
-            inner_passes=proc.inner_passes, inner_scheme=proc.inner_scheme,
-            frame_unroll=u))
-        t0 = time.time()
-        out = fn(*pair, thresholds=thr)
-        out[0].block_until_ready()
-        compile_s = time.time() - t0
-        walls = []
-        for _ in range(args.reps):
+    for w in args.windows.split(","):
+        for u in [int(s) for s in args.unrolls.split(",")]:
+            fn = jax.jit(functools.partial(
+                tiled_lws_sweeps, st=proc._st_batch, micro=1, pack=args.pack,
+                inner_passes=proc.inner_passes,
+                inner_scheme=proc.inner_scheme,
+                window_carry=w, frame_unroll=u))
             t0 = time.time()
-            out = fn(*pair, thresholds=thr)
-            out[0].block_until_ready()
-            walls.append(time.time() - t0)
-        wall = float(np.median(walls))
-        c1 = float(np.asarray(proc.get_consistency(out)).mean())
-        thru = B * secs / wall
-        results.append((u, wall, thru, c1))
-        print(f"unroll={u:2d}  wall={wall:.3f}s  {thru:7.1f} audio-s/s  "
-              f"consistency={c1:.2f} dB  (compile {compile_s:.1f}s)")
-    best = max(results, key=lambda r: r[2])
-    base = next(r for r in results if r[0] == 1)
-    print(f"best: unroll={best[0]} at {best[2]:.1f} audio-s/s "
-          f"({best[2] / base[2] - 1:+.1%} vs unroll=1)")
+            try:
+                out = fn(*pair, thresholds=thr)
+                out[0].block_until_ready()
+            except Exception as e:  # noqa: BLE001 - record compile failures
+                print(f"window={w:5s} unroll={u:2d}  FAILED: "
+                      f"{str(e).splitlines()[0][:120]}")
+                continue
+            compile_s = time.time() - t0
+            walls = []
+            for _ in range(args.reps):
+                t0 = time.time()
+                out = fn(*pair, thresholds=thr)
+                out[0].block_until_ready()
+                walls.append(time.time() - t0)
+            wall = float(np.median(walls))
+            c1 = float(np.asarray(proc.get_consistency(out)).mean())
+            thru = B * secs / wall
+            results.append((w, u, wall, thru, c1))
+            print(f"window={w:5s} unroll={u:2d}  wall={wall:.3f}s  "
+                  f"{thru:7.1f} audio-s/s  consistency={c1:.2f} dB  "
+                  f"(compile {compile_s:.1f}s)")
+    best = max(results, key=lambda r: r[3])
+    base = next(r for r in results if r[:2] == ("stack", 1))
+    print(f"best: window={best[0]} unroll={best[1]} at {best[3]:.1f} "
+          f"audio-s/s ({best[3] / base[3] - 1:+.1%} vs stack/1)")
 
 
 if __name__ == "__main__":
