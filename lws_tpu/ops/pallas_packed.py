@@ -241,10 +241,12 @@ def _window_sweep(xr, xi, am, wr_ref, wi_ref, nz, thr, *, Q, L, F, P, T_loop,
                             xi[pl.ds(nxt, 1)][..., :F].astype(cdt), F, L)
         return shift(win_r, er, fr), shift(win_i, ei, fi)
 
-    # frame_unroll > 1 lets the compiler fold the per-frame window shift
-    # into register renaming across the unrolled bodies
-    jax.lax.fori_loop(0, T_loop, frame_body, init,
-                      unroll=frame_unroll if frame_unroll > 1 else False)
+    # frame_unroll folds the per-frame window shift into register renaming
+    # across the unrolled bodies. Mosaic only lowers unroll=1 or a FULL
+    # unroll (unroll == trip count), so -1 requests the full unroll and any
+    # k > 1 is clamped to it rather than failing in the backend.
+    unroll = True if (frame_unroll < 0 or frame_unroll > 1) else False
+    jax.lax.fori_loop(0, T_loop, frame_body, init, unroll=unroll)
 
 
 # ---------------------------------------------------------------------------
