@@ -69,7 +69,12 @@ def bench_batch(on_tpu):
     B, secs, iters = (32, 5.0, 100) if on_tpu else (2, 5.0, 10)
     rng = np.random.default_rng(0)
     x = make_batch(B, int(secs * 16000), 16000, rng)
-    proc = LWS(512, 128)
+    # serving mode: full frame unroll + rows carry is bit-identical to the
+    # default kernel and ~34% faster at a one-time ~3 min compile
+    # (tools/unroll_verify.py, PERF.md) — the right trade for the
+    # steady-state metric this harness reports
+    proc = (LWS(512, 128, pallas_unroll=-1, pallas_window="rows")
+            if on_tpu else LWS(512, 128))
     sr, si = proc.stft_ri(x)
     amp = jnp.sqrt(sr * sr + si * si)
     pair = (amp, jnp.zeros_like(amp))

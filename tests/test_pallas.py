@@ -485,7 +485,7 @@ def test_frame_unroll_is_bit_neutral(golden_q4):
     for fn in (tiled_lws_sweeps, packed_lws_sweeps, seg):
         base = fn(*pair, st=p._st_batch, thresholds=thr, pack=2,
                   interpret=True)
-        for u in (2, 7):
+        for u in (2, -1):  # clamped-to-full and explicit full unroll
             got = fn(*pair, st=p._st_batch, thresholds=thr, pack=2,
                      interpret=True, frame_unroll=u)
             np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(base[0]))

@@ -80,10 +80,15 @@ def main():
             print(f"window={w:5s} unroll={u:2d}  wall={wall:.3f}s  "
                   f"{thru:7.1f} audio-s/s  consistency={c1:.2f} dB  "
                   f"(compile {compile_s:.1f}s)")
+    if not results:
+        sys.exit("no setting compiled")
     best = max(results, key=lambda r: r[3])
-    base = next(r for r in results if r[:2] == ("stack", 1))
+    base = next((r for r in results if r[:2] == ("stack", 1)), None)
+    rel = f" ({best[3] / base[3] - 1:+.1%} vs stack/1)" if base else ""
     print(f"best: window={best[0]} unroll={best[1]} at {best[3]:.1f} "
-          f"audio-s/s ({best[3] / base[3] - 1:+.1%} vs stack/1)")
+          f"audio-s/s{rel}")
+    print("NOTE: timings reuse one input buffer; full-unroll kernels must be "
+          "confirmed with tools/unroll_verify.py (fresh buffers per rep)")
 
 
 if __name__ == "__main__":
