@@ -30,6 +30,15 @@ import time
 
 import numpy as np
 
+# persistent XLA compilation cache: the serving-mode kernels (pallas_unroll)
+# compile for minutes; a warmed cache makes repeat bench runs on the same
+# machine skip that. Harmless if the backend bypasses it. Must be set before
+# jax imports (the benches import jax lazily, so here).
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.expanduser("~"), ".cache", "lws_tpu_xla"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2.0")
+
 
 def make_batch(B, n, sr_hz, rng):
     """Tone + chirp + noise mixtures (realistic harmonic spectrograms)."""
@@ -92,8 +101,12 @@ def bench_pipeline(on_tpu):
     B, secs = (32, 5.0) if on_tpu else (2, 2.0)
     rng = np.random.default_rng(1)
     x = make_batch(B, int(secs * 16000), 16000, rng)
-    proc = LWS(1024, 256, mode="music") if on_tpu else (
-        LWS(1024, 256, mode="music", batch_iterations=10, online_iterations=3))
+    # serving mode (pallas_unroll) as in bench_batch: +21% here, identical
+    # consistency — the online stage dilutes the batch kernel's +34%
+    proc = (LWS(1024, 256, mode="music", pallas_unroll=-1,
+                pallas_window="rows") if on_tpu else
+            LWS(1024, 256, mode="music", batch_iterations=10,
+                online_iterations=3))
     sr, si = proc.stft_ri(x)
     amp = jnp.sqrt(sr * sr + si * si)
     pair = (amp, jnp.zeros_like(amp))
