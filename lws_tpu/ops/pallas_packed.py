@@ -154,9 +154,20 @@ def _color_rounds(tr, ti, row_er, row_ei, amp_m, thr, scheme,
     return cur_r, cur_i, er, ei
 
 
+def _lane_chunks(F):
+    """Frequency-chunk boundaries for the lane-granular threshold skip:
+    128-lane chunks (the VPU register tile), with a short tail (< 64 lanes)
+    merged into its neighbour so no chunk wastes a near-empty register."""
+    n = _cdiv(F, 128)
+    bounds = [i * 128 for i in range(n)] + [F]
+    if n >= 2 and bounds[-1] - bounds[-2] < 64:
+        del bounds[-2]
+    return list(zip(bounds[:-1], bounds[1:]))
+
+
 def _window_sweep(xr, xi, am, wr_ref, wi_ref, nz, thr, *, Q, L, F, P, T_loop,
                   nxt_cap, inner_scheme, has_centre, valid_fn=None,
-                  carry="stack", frame_unroll=1):
+                  carry="stack", frame_unroll=1, lane_skip=False):
     """micro=1 fast path shared by the packed and tiled sweep kernels: a
     sliding register window of the 2Q-1 freq-extended frame rows around the
     update point — one row read + one row write-back per frame instead of
@@ -195,8 +206,65 @@ def _window_sweep(xr, xi, am, wr_ref, wi_ref, nz, thr, *, Q, L, F, P, T_loop,
         shift = lambda w, upd, new: jnp.concatenate(  # noqa: E731
             [w[1:Q1], upd, w[Q1 + 1:], new], axis=0)
 
+    # lane-granular threshold skip (the reference's per-bin sparsity skip,
+    # lwslib.cpp:84-85, at VPU register-tile granularity): amp is constant
+    # across sweeps, so a frequency chunk none of whose bins exceeds this
+    # sweep's threshold keeps its old values EXACTLY — its ~(2Q-1)(2L+1)
+    # taps are skipped behind a scalar branch. Chunk arithmetic is
+    # elementwise-identical to the full-row path (bit-equal output). Only
+    # the plain (non-color) update is chunked; color rounds keep full rows.
+    chunks = _lane_chunks(F) if (lane_skip and not use_colors) else None
+
     def frame_body(m, c):
         win_r, win_i = c
+        if chunks is not None:
+            amp_m = am[pl.ds(m, 1)][..., :F].astype(cdt)
+            valid = None if valid_fn is None else valid_fn(m)
+            cen_r, cen_i = row(win_r, Q1), row(win_i, Q1)
+            parts_r, parts_i = [], []
+            for f0, f1 in chunks:
+                fw = f1 - f0
+                a_c = amp_m[..., f0:f1]
+                old_r = cen_r[..., L + f0:L + f1]
+                old_i = cen_i[..., L + f0:L + f1]
+                live = jnp.any(a_c > thr)
+                if valid is not None:
+                    live = jnp.logical_and(live, valid)
+
+                def update(f0=f0, fw=fw, a_c=a_c, old_r=old_r, old_i=old_i):
+                    tr = jnp.zeros((1, P, fw), dtype=cdt)
+                    ti = jnp.zeros_like(tr)
+                    for dr in range(2 * Q - 1):
+                        rr, ri = row(win_r, dr), row(win_i, dr)
+                        for dk in range(2 * L + 1):
+                            if not nz[dr, dk]:
+                                continue
+                            wr = wr_ref[dr, dk, f0:f1]
+                            wi = wi_ref[dr, dk, f0:f1]
+                            br = rr[..., dk + f0:dk + f0 + fw]
+                            bi = ri[..., dk + f0:dk + f0 + fw]
+                            tr += wr * br - wi * bi
+                            ti += wr * bi + wi * br
+                    a = jnp.sqrt(tr * tr + ti * ti)
+                    scale = a_c / jnp.where(a > 0, a, 1)
+                    cond = (a_c > thr) & (a > 0)
+                    return (jnp.where(cond, tr * scale, old_r),
+                            jnp.where(cond, ti * scale, old_i))
+
+                nr, ni = jax.lax.cond(
+                    live, update,
+                    lambda old_r=old_r, old_i=old_i: (old_r, old_i))
+                parts_r.append(nr)
+                parts_i.append(ni)
+            new_r = jnp.concatenate(parts_r, axis=-1)
+            new_i = jnp.concatenate(parts_i, axis=-1)
+            er, ei = _freq_halo(new_r, new_i, F, L)
+            xr[pl.ds(Q1 + m, 1), :, :F] = new_r.astype(xr.dtype)
+            xi[pl.ds(Q1 + m, 1), :, :F] = new_i.astype(xi.dtype)
+            nxt = jnp.minimum(m + 2 * Q1 + 1, nxt_cap)
+            fr, fi = _freq_halo(xr[pl.ds(nxt, 1)][..., :F].astype(cdt),
+                                xi[pl.ds(nxt, 1)][..., :F].astype(cdt), F, L)
+            return shift(win_r, er, fr), shift(win_i, ei, fi)
         tr = jnp.zeros((1, P, F), dtype=cdt)
         ti = jnp.zeros_like(tr)
         for dr in range(2 * Q - 1):
@@ -256,7 +324,7 @@ def _window_sweep(xr, xi, am, wr_ref, wi_ref, nz, thr, *, Q, L, F, P, T_loop,
 def _sweeps_kernel(thr_ref, mean_ref, sr_hbm, si_hbm, amp_hbm, wr_ref, wi_ref,
                    osr_hbm, osi_hbm, xr, xi, am, sem, *, T, F, Q, L, iters,
                    micro, nz, inner_passes, inner_scheme, P, frame_unroll=1,
-                   window_carry="stack"):
+                   window_carry="stack", lane_skip=False):
     # scratch/slab lane width is padded to a 128 multiple (DMA requires
     # tile-aligned transfers); compute slices values down to F lanes
     """One program = P utterances. Scratch layout (rows, P, F); frame t at
@@ -284,7 +352,8 @@ def _sweeps_kernel(thr_ref, mean_ref, sr_hbm, si_hbm, amp_hbm, wr_ref, wi_ref,
         _window_sweep(xr, xi, am, wr_ref, wi_ref, nz, thr_ref[it] * mean_amp,
                       Q=Q, L=L, F=F, P=P, T_loop=T, nxt_cap=T + 2 * Q1 - 1,
                       inner_scheme=inner_scheme, has_centre=has_centre,
-                      carry=window_carry, frame_unroll=frame_unroll)
+                      carry=window_carry, frame_unroll=frame_unroll,
+                      lane_skip=lane_skip)
         return _
 
     def group_update(it, grp, _):
@@ -366,6 +435,7 @@ def packed_lws_sweeps(
     interpret: bool = False,
     frame_unroll: int = 1,
     window_carry: str = "stack",
+    lane_skip: bool = False,
 ):
     """Batch/no-future sweeps, P utterances per program. (B, T, F) planes.
 
@@ -416,7 +486,8 @@ def packed_lws_sweeps(
     kern = functools.partial(
         _sweeps_kernel, T=T, F=F, Q=Q, L=L, iters=iters, micro=micro,
         nz=st.nz, inner_passes=int(inner_passes), inner_scheme=inner_scheme,
-        P=P, frame_unroll=int(frame_unroll), window_carry=window_carry)
+        P=P, frame_unroll=int(frame_unroll), window_carry=window_carry,
+        lane_skip=bool(lane_skip))
 
     rows = (Q - 1) + n_groups * micro + (Q - 1) + micro  # + read slack
     hbm = pl.BlockSpec(memory_space=pl.ANY)
@@ -470,11 +541,14 @@ def online_supported(F: int, Q: int, L: int, LA: int, pack: int = 8,
     return weights + window < vmem_budget
 
 
-def _online_row_update_fns(wr_ref, wi_ref, nzs, Q, L, F, P, inner_scheme):
+def _online_row_update_fns(wr_ref, wi_ref, nzs, Q, L, F, P, inner_scheme,
+                           lane_skip=False):
     """Shared machinery of the streaming online kernels: `set_row` replaces
     one static row of a carried (rows, P, F+2L) window; `row_update` applies
     one visibility-masked stencil update (weight set `w_set`) to window row
-    `idx`, re-extending the frequency halo in place."""
+    `idx`, re-extending the frequency halo in place. `lane_skip` chunks the
+    plain (non-color) update by VPU lane tiles and skips chunks whose bins
+    are all below the threshold (bit-identical; see _window_sweep)."""
     def set_row(arr, row, idx):
         parts = []
         if idx > 0:
@@ -487,6 +561,43 @@ def _online_row_update_fns(wr_ref, wi_ref, nzs, Q, L, F, P, inner_scheme):
     def row_update(win_r, win_i, idx, w_set, thr, amp_row):
         nz = nzs[w_set]
         use_colors = inner_scheme != "jacobi" and bool(nz[Q - 1].any())
+        if lane_skip and not use_colors:
+            parts_r, parts_i = [], []
+            for f0, f1 in _lane_chunks(F):
+                fw = f1 - f0
+                a_c = amp_row[..., f0:f1]
+                old_r = win_r[idx:idx + 1, :, L + f0:L + f1]
+                old_i = win_i[idx:idx + 1, :, L + f0:L + f1]
+                live = jnp.any(a_c > thr)
+
+                def update(f0=f0, fw=fw, a_c=a_c, old_r=old_r, old_i=old_i):
+                    tr = jnp.zeros((1, P, fw), dtype=win_r.dtype)
+                    ti = jnp.zeros_like(tr)
+                    for dr in range(2 * Q - 1):
+                        for dk in range(2 * L + 1):
+                            if not nz[dr, dk]:
+                                continue
+                            wr = wr_ref[w_set, dr, dk, f0:f1]
+                            wi = wi_ref[w_set, dr, dk, f0:f1]
+                            r = idx - (Q - 1) + dr
+                            br = win_r[r:r + 1, :, dk + f0:dk + f0 + fw]
+                            bi = win_i[r:r + 1, :, dk + f0:dk + f0 + fw]
+                            tr += wr * br - wi * bi
+                            ti += wr * bi + wi * br
+                    a = jnp.sqrt(tr * tr + ti * ti)
+                    scale = a_c / jnp.where(a > 0, a, 1)
+                    cond = (a_c > thr) & (a > 0)
+                    return (jnp.where(cond, tr * scale, old_r),
+                            jnp.where(cond, ti * scale, old_i))
+
+                nr, ni = jax.lax.cond(
+                    live, update,
+                    lambda old_r=old_r, old_i=old_i: (old_r, old_i))
+                parts_r.append(nr)
+                parts_i.append(ni)
+            er, ei = _freq_halo(jnp.concatenate(parts_r, axis=-1),
+                                jnp.concatenate(parts_i, axis=-1), F, L)
+            return set_row(win_r, er, idx), set_row(win_i, ei, idx)
         tr = jnp.zeros((1, P, F), dtype=win_r.dtype)
         ti = jnp.zeros_like(tr)
         for dr in range(2 * Q - 1):
@@ -523,7 +634,8 @@ def _online_row_update_fns(wr_ref, wi_ref, nzs, Q, L, F, P, inner_scheme):
 
 def _online_kernel(thr_ref, mean_ref, sr_hbm, si_hbm, wr_ref, wi_ref,
                    osr_hbm, osi_hbm, row_r, row_i, stage_r, stage_i, sem,
-                   *, T, F, Q, L, LA, iters, nzs, inner_scheme, P):
+                   *, T, F, Q, L, LA, iters, nzs, inner_scheme, P,
+                   lane_skip=False):
     """One program = P utterances, streaming over frames: per step one input
     row is DMA'd from HBM, the amplitude is computed in-kernel into a carried
     (LA+1)-row window, the evolving phase state lives in a sliding register
@@ -544,7 +656,7 @@ def _online_kernel(thr_ref, mean_ref, sr_hbm, si_hbm, wr_ref, wi_ref,
         return (row_r[:][..., :F].astype(cdt), row_i[:][..., :F].astype(cdt))
 
     _, row_update = _online_row_update_fns(
-        wr_ref, wi_ref, nzs, Q, L, F, P, inner_scheme)
+        wr_ref, wi_ref, nzs, Q, L, F, P, inner_scheme, lane_skip=lane_skip)
 
     newest = W - 1
 
@@ -607,6 +719,7 @@ def packed_rtisi_la(
     pack: int = 8,
     inner_scheme: str = "jacobi",
     interpret: bool = False,
+    lane_skip: bool = False,
 ):
     """Online RTISI-LA, P utterances per program, any T*F (state streams
     through a VMEM register window; HBM slabs are aliased in place)."""
@@ -649,7 +762,8 @@ def packed_rtisi_la(
 
     kern = functools.partial(_online_kernel, T=T, F=F, Q=Q, L=L, LA=LA,
                              inner_scheme=inner_scheme,
-                             iters=iters, nzs=nzs, P=P)
+                             iters=iters, nzs=nzs, P=P,
+                             lane_skip=bool(lane_skip))
     hbm = pl.BlockSpec(memory_space=pl.ANY)
     wspec = pl.BlockSpec(wrs.shape, lambda g: (0, 0, 0, 0), memory_space=pltpu.VMEM)
     osr, osi = pl.pallas_call(
@@ -692,7 +806,8 @@ def _online_chunk_kernel(thr_ref, nlive_ref, mean_ref, sr_hbm, si_hbm,
                          wr_ref, wi_ref, w0r_ref, w0i_ref, aw0_ref,
                          osr_hbm, osi_hbm, wor_ref, woi_ref, awo_ref,
                          row_r, row_i, stage_r, stage_i, sem,
-                         *, N, F, Q, L, LA, iters, nzs, inner_scheme, P):
+                         *, N, F, Q, L, LA, iters, nzs, inner_scheme, P,
+                         lane_skip=False):
     """Chunked variant of `_online_kernel`: processes N frames starting from
     a caller-provided sliding-window state and returns the final state, so a
     live stream advances in one kernel dispatch per chunk (StreamingLWS
@@ -715,7 +830,7 @@ def _online_chunk_kernel(thr_ref, nlive_ref, mean_ref, sr_hbm, si_hbm,
         return (row_r[:][..., :F].astype(cdt), row_i[:][..., :F].astype(cdt))
 
     _, row_update = _online_row_update_fns(
-        wr_ref, wi_ref, nzs, Q, L, F, P, inner_scheme)
+        wr_ref, wi_ref, nzs, Q, L, F, P, inner_scheme, lane_skip=lane_skip)
 
     newest = W - 1
 
@@ -791,7 +906,7 @@ def online_chunk_init(B, st_la, st_af, fr0, fi0, pack: int = 8):
 
 def online_chunk(sr, si, state, means, st_la, st_ai, st_af, thresholds,
                  n_live=None, pack: int = 8, inner_scheme: str = "jacobi",
-                 interpret: bool = False):
+                 interpret: bool = False, lane_skip: bool = False):
     """Advance a chunked online stream by the frames in `sr`/`si` (B, N, F).
 
     `state` is the (w0r, w0i, aw0) tuple from `online_chunk_init` or a prior
@@ -836,7 +951,7 @@ def online_chunk(sr, si, state, means, st_la, st_ai, st_af, thresholds,
 
     kern = functools.partial(_online_chunk_kernel, N=N, F=F, Q=Q, L=L, LA=LA,
                              inner_scheme=inner_scheme, iters=iters, nzs=nzs,
-                             P=P)
+                             P=P, lane_skip=bool(lane_skip))
     hbm = pl.BlockSpec(memory_space=pl.ANY)
     wspec = pl.BlockSpec(wrs.shape, lambda g: (0, 0, 0, 0), memory_space=pltpu.VMEM)
 
@@ -884,10 +999,10 @@ def online_chunk(sr, si, state, means, st_la, st_ai, st_af, thresholds,
 # ---------------------------------------------------------------------------
 
 def _tiled_sweeps_kernel(thr_ref, mean_ref, s_hbm_r, s_hbm_i, amp_hbm,
-                         wr_ref, wi_ref, osr_hbm, osi_hbm, xr, xi, am, sem,
-                         *, T, F, Q, L, iters, micro, nz, inner_passes,
-                         inner_scheme, P, TT, frame_unroll=1,
-                         window_carry="stack"):
+                         wr_ref, wi_ref, live_ref, osr_hbm, osi_hbm, xr, xi,
+                         am, sem, *, T, F, Q, L, iters, micro, nz,
+                         inner_passes, inner_scheme, P, TT, frame_unroll=1,
+                         window_carry="stack", lane_skip=False):
     """Long-T variant: the evolving state lives in the (pre-halo-padded)
     OUTPUT slab in HBM; each iteration sweeps time tiles of TT frames,
     DMA-ing tile+halo in and the updated tile out. Because tiles are
@@ -917,7 +1032,8 @@ def _tiled_sweeps_kernel(thr_ref, mean_ref, s_hbm_r, s_hbm_i, amp_hbm,
                       nxt_cap=TT + 2 * Q1 - 1, inner_scheme=inner_scheme,
                       has_centre=has_centre,
                       valid_fn=lambda mm: (t0 + mm) < T,
-                      carry=window_carry, frame_unroll=frame_unroll)
+                      carry=window_carry, frame_unroll=frame_unroll,
+                      lane_skip=lane_skip)
 
     def tile_sweep(it, k, _):
         thr = thr_ref[it] * mean_amp
@@ -985,10 +1101,34 @@ def _tiled_sweeps_kernel(thr_ref, mean_ref, s_hbm_r, s_hbm_i, amp_hbm,
         return _
 
     def one_iter(it, _):
-        return jax.lax.fori_loop(
-            0, n_tiles, lambda k, c: tile_sweep(it, k, c), _, unroll=False)
+        # sparsity-threshold iteration skip (the reference's own
+        # acceleration, python/lws.pyx:203-206 + lwslib.cpp:84-85 applied at
+        # sweep granularity): when no bin of any packed utterance exceeds
+        # this iteration's scaled threshold, every update's
+        # `amp > thr` select keeps the old value — the sweep is a no-op and
+        # is skipped EXACTLY (at the reference batch defaults alpha=100,
+        # beta=0.1 the first ~10 of 100 sweeps are dead on typical audio).
+        @pl.when(live_ref[g, it] != 0)
+        def _run():
+            jax.lax.fori_loop(
+                0, n_tiles, lambda k, c: tile_sweep(it, k, c), 0,
+                unroll=False)
+        return _
 
     jax.lax.fori_loop(0, iters, one_iter, 0, unroll=False)
+
+
+def _live_iters(amp, mean_amp, thresholds, G, P, b_pad):
+    """(G, iters) int32: 1 where any bin of any of the group's P packed
+    utterances exceeds that iteration's scaled threshold (iteration-skip
+    predicate; computed once in XLA — amp never changes across sweeps)."""
+    amax = jnp.max(amp, axis=(-2, -1))
+    if b_pad:
+        amax = jnp.pad(amax, (0, b_pad))
+    live = (amax.reshape(G, P, 1)
+            > thresholds[None, None, :].astype(amax.dtype)
+            * mean_amp.reshape(G, P, 1))
+    return jnp.any(live, axis=1).astype(jnp.int32)
 
 
 def tiled_lws_sweeps(
@@ -1007,6 +1147,7 @@ def tiled_lws_sweeps(
     mean_amp: jnp.ndarray | None = None,
     frame_unroll: int = 1,
     window_carry: str = "stack",
+    lane_skip: bool = False,
 ):
     """Batch/no-future sweeps for arbitrary T: exact same frame order as
     packed_lws_sweeps, with the state streamed through VMEM in time tiles.
@@ -1103,12 +1244,16 @@ def tiled_lws_sweeps(
         si_t = to_slabs(si, True, halo[1], halo[3])
     amp_t = to_slabs(amp, False)
     mean_t = mean_amp.reshape(G, P, 1)
+    # amp/mean_amp are already batch-padded with zeros here, which can never
+    # be live (0 > thr*0 is false), so no extra masking is needed
+    live_t = _live_iters(amp, mean_amp, thresholds, G, P, 0)
 
     wdt = jnp.promote_types(sr.dtype, jnp.float32)
     kern = functools.partial(
         _tiled_sweeps_kernel, T=T, F=F, Q=Q, L=L, iters=iters, micro=micro,
         nz=st.nz, inner_passes=int(inner_passes), inner_scheme=inner_scheme,
-        P=P, TT=TT, frame_unroll=int(frame_unroll), window_carry=window_carry)
+        P=P, TT=TT, frame_unroll=int(frame_unroll), window_carry=window_carry,
+        lane_skip=bool(lane_skip))
 
     hbm = pl.BlockSpec(memory_space=pl.ANY)
     wspec = pl.BlockSpec((2 * Q - 1, 2 * L + 1, F), lambda g: (0, 0, 0),
@@ -1121,6 +1266,7 @@ def tiled_lws_sweeps(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, P, 1), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
             hbm, hbm, hbm, wspec, wspec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(hbm, hbm),
         out_shape=(jax.ShapeDtypeStruct((G, rows_hbm, P, Fpad), sdt),
@@ -1135,7 +1281,7 @@ def tiled_lws_sweeps(
         input_output_aliases={2: 0, 3: 1},  # input slabs ARE the state buffers
         interpret=interpret,
     )(thresholds.astype(sr.dtype), mean_t, sr_t, si_t, amp_t,
-      st.Wr[:, :, :F].astype(wdt), st.Wi[:, :, :F].astype(wdt))
+      st.Wr[:, :, :F].astype(wdt), st.Wi[:, :, :F].astype(wdt), live_t)
 
     def from_slabs(a):  # strip halos + pads
         a = a[:, Q1:Q1 + T, :, :F].astype(out_dt)
@@ -1166,6 +1312,7 @@ def segmented_lws_sweeps(
     interpret: bool = False,
     frame_unroll: int = 1,
     window_carry: str = "stack",
+    lane_skip: bool = False,
 ):
     """Batch/no-future sweeps with each utterance's time axis split into
     `segments` virtual utterances that fill the sublane pack.
@@ -1236,7 +1383,7 @@ def segmented_lws_sweeps(
             inner_passes=inner_passes, inner_scheme=inner_scheme,
             storage=storage, interpret=interpret, halo=halo,
             mean_amp=mean_seg, frame_unroll=frame_unroll,
-            window_carry=window_carry)
+            window_carry=window_carry, lane_skip=lane_skip)
 
     cr, ci = seg_r, seg_i
     if rounds:

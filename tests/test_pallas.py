@@ -530,3 +530,57 @@ def test_rows_carry_is_bit_neutral(golden_q4, scheme):
                      window_carry="rows", frame_unroll=u)
             np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(base[0]))
             np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(base[1]))
+
+
+def test_threshold_iteration_skip_is_bit_neutral(golden_q4):
+    """The sparsity-threshold iteration skip in the tiled kernel is exact:
+    an all-dead schedule is a pure identity, and a schedule whose leading
+    sweeps are dead (the reference batch defaults, alpha=100) still matches
+    the XLA GS path (python/lws.pyx:203-206 skip semantics)."""
+    from lws_tpu.ops.pallas_packed import tiled_lws_sweeps
+
+    p, A, pair = _setup(golden_q4, max_t=40)
+    dead = jnp.full((4,), jnp.inf, dtype=jnp.float32)
+    out = tiled_lws_sweeps(*pair, st=p._st_batch, thresholds=dead, pack=2,
+                           interpret=True)
+    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(pair[0]))
+    np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(pair[1]))
+
+    thr = jnp.asarray(get_thresholds(10, 100, 0.5, 1), dtype=jnp.float32)
+    got = merge(*tiled_lws_sweeps(*pair, st=p._st_batch, thresholds=thr,
+                                  pack=2, interpret=True))
+    ref = np.asarray(p.batch_lws(A, thresholds=np.asarray(thr)))
+    np.testing.assert_allclose(got, ref, atol=2e-3)
+
+
+def test_lane_skip_is_bit_neutral(golden_q4):
+    """lane_skip (lane-granular threshold skip, the reference's per-bin
+    skip at VPU register-tile granularity) is bit-identical to the dense
+    path on all batch kernels and the streaming online kernel. It measured
+    SLOWER on the real chip (PERF.md: branch overhead beats the saved taps)
+    so it is opt-in, but its semantics must stay exact."""
+    from lws_tpu.ops.pallas_packed import (packed_lws_sweeps,
+                                           packed_rtisi_la,
+                                           segmented_lws_sweeps,
+                                           tiled_lws_sweeps)
+
+    p, A, pair = _setup(golden_q4, max_t=40)
+    thr = jnp.asarray(get_thresholds(3, 100, 0.5, 1), dtype=jnp.float32)
+    seg = functools.partial(segmented_lws_sweeps, segments=2)
+    for fn in (tiled_lws_sweeps, packed_lws_sweeps, seg):
+        base = fn(*pair, st=p._st_batch, thresholds=thr, pack=2,
+                  interpret=True)
+        got = fn(*pair, st=p._st_batch, thresholds=thr, pack=2,
+                 interpret=True, lane_skip=True)
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(base[0]))
+        np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(base[1]))
+
+    othr = jnp.asarray(get_thresholds(2, 1, 0.1, 1), dtype=jnp.float32)
+    base = packed_rtisi_la(*pair, st_la=p._st_la, st_ai=p._st_nofuture,
+                           st_af=p._st_af, thresholds=othr, pack=2,
+                           interpret=True)
+    got = packed_rtisi_la(*pair, st_la=p._st_la, st_ai=p._st_nofuture,
+                          st_af=p._st_af, thresholds=othr, pack=2,
+                          interpret=True, lane_skip=True)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(base[0]))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(base[1]))
