@@ -56,7 +56,7 @@ def packed_supported(T: int, F: int, Q: int, L: int, pack: int = 4,
 
 
 def _tiled_tile(F: int, Q: int, L: int, P: int, micro: int = 1,
-                itemsize: int = 4):
+                itemsize: int = 4, tap_chunks: int = 1):
     """VMEM time-tile sizing for the tiled kernel; None if the geometry does
     not fit (the SINGLE source of truth — tiled_supported and
     tiled_lws_sweeps both use it, so the gate can never pass a geometry the
@@ -80,7 +80,10 @@ def _tiled_tile(F: int, Q: int, L: int, P: int, micro: int = 1,
     row = 3 * P * fpad * itemsize  # one time-row across the 3 state planes
     halo_bytes = 4 * (Q - 1) * P * fpad * itemsize  # window halos, 2 planes
     ntaps = (2 * Q - 1) * (2 * L + 1)
-    stack_bytes = int(1.1 * ntaps * P * fpad * 4)  # spills are f32 compute
+    # tap-chunked accumulation (_chunk_bounds) bounds the spill to one
+    # chunk's width of live temporaries instead of the whole row
+    chunk_fpad = _cdiv(_cdiv(F, 128), max(1, int(tap_chunks))) * 128
+    stack_bytes = int(1.1 * ntaps * P * chunk_fpad * 4)  # spills are f32 compute
     budget = 15 * 2 ** 20 + 2 ** 18 - halo_bytes - stack_bytes
     rows = budget // row
     if rows < 8:
@@ -89,7 +92,8 @@ def _tiled_tile(F: int, Q: int, L: int, P: int, micro: int = 1,
 
 
 def tiled_supported(F: int, Q: int, L: int, pack: int = 8, micro: int = 1,
-                    B: int | None = None, itemsize: int = 4) -> bool:
+                    B: int | None = None, itemsize: int = 4,
+                    tap_chunks: int = 1) -> bool:
     """Whether the time-tiled kernel can run this geometry at the given pack
     (pass the batch size B to account for the kernel's own pack clamp for
     underfilled batches, and the storage itemsize when using bf16 planes).
@@ -98,7 +102,8 @@ def tiled_supported(F: int, Q: int, L: int, pack: int = 8, micro: int = 1,
     if Q > MAX_Q:
         return False
     P = int(pack) if B is None else min(int(pack), max(8, _cdiv(B, 8) * 8))
-    return _tiled_tile(F, Q, L, P, micro, itemsize=itemsize) is not None
+    return _tiled_tile(F, Q, L, P, micro, itemsize=itemsize,
+                       tap_chunks=tap_chunks) is not None
 
 
 def _freq_halo(rows_r, rows_i, F, L):
@@ -165,9 +170,27 @@ def _lane_chunks(F):
     return list(zip(bounds[:-1], bounds[1:]))
 
 
+def _chunk_bounds(F, n):
+    """Split F lanes into n contiguous 128-lane-tile-aligned chunks (the
+    tap-accumulation chunking: computing the stencil update one chunk at a
+    time divides the live vector temporaries Mosaic must hold — and hence
+    its scoped-VMEM stack spill — by ~n, letting wide sublane packs fit
+    geometries the whole-row update cannot; arithmetic per lane is
+    identical, so outputs are bit-equal)."""
+    tiles = _cdiv(F, 128)
+    n = max(1, min(int(n), tiles))
+    out, start = [], 0
+    for i in range(n):
+        end = min(F, ((tiles * (i + 1)) // n) * 128)
+        out.append((start, end))
+        start = end
+    return out
+
+
 def _window_sweep(xr, xi, am, wr_ref, wi_ref, nz, thr, *, Q, L, F, P, T_loop,
                   nxt_cap, inner_scheme, has_centre, valid_fn=None,
-                  carry="stack", frame_unroll=1, lane_skip=False):
+                  carry="stack", frame_unroll=1, lane_skip=False,
+                  tap_chunks=1):
     """micro=1 fast path shared by the packed and tiled sweep kernels: a
     sliding register window of the 2Q-1 freq-extended frame rows around the
     update point — one row read + one row write-back per frame instead of
@@ -213,7 +236,14 @@ def _window_sweep(xr, xi, am, wr_ref, wi_ref, nz, thr, *, Q, L, F, P, T_loop,
     # taps are skipped behind a scalar branch. Chunk arithmetic is
     # elementwise-identical to the full-row path (bit-equal output). Only
     # the plain (non-color) update is chunked; color rounds keep full rows.
-    chunks = _lane_chunks(F) if (lane_skip and not use_colors) else None
+    # `tap_chunks` reuses the same chunked arithmetic WITHOUT the skip
+    # branch, purely to bound Mosaic's live-temporary spill (_chunk_bounds).
+    chunks = use_cond = None
+    if not use_colors:
+        if lane_skip:
+            chunks, use_cond = _lane_chunks(F), True
+        elif tap_chunks > 1:
+            chunks, use_cond = _chunk_bounds(F, tap_chunks), False
 
     def frame_body(m, c):
         win_r, win_i = c
@@ -227,11 +257,13 @@ def _window_sweep(xr, xi, am, wr_ref, wi_ref, nz, thr, *, Q, L, F, P, T_loop,
                 a_c = amp_m[..., f0:f1]
                 old_r = cen_r[..., L + f0:L + f1]
                 old_i = cen_i[..., L + f0:L + f1]
-                live = jnp.any(a_c > thr)
-                if valid is not None:
-                    live = jnp.logical_and(live, valid)
+                if use_cond:
+                    live = jnp.any(a_c > thr)
+                    if valid is not None:
+                        live = jnp.logical_and(live, valid)
 
-                def update(f0=f0, fw=fw, a_c=a_c, old_r=old_r, old_i=old_i):
+                def update(f0=f0, f1=f1, fw=fw, a_c=a_c, old_r=old_r,
+                           old_i=old_i):
                     tr = jnp.zeros((1, P, fw), dtype=cdt)
                     ti = jnp.zeros_like(tr)
                     for dr in range(2 * Q - 1):
@@ -248,12 +280,17 @@ def _window_sweep(xr, xi, am, wr_ref, wi_ref, nz, thr, *, Q, L, F, P, T_loop,
                     a = jnp.sqrt(tr * tr + ti * ti)
                     scale = a_c / jnp.where(a > 0, a, 1)
                     cond = (a_c > thr) & (a > 0)
+                    if not use_cond and valid is not None:
+                        cond = cond & valid
                     return (jnp.where(cond, tr * scale, old_r),
                             jnp.where(cond, ti * scale, old_i))
 
-                nr, ni = jax.lax.cond(
-                    live, update,
-                    lambda old_r=old_r, old_i=old_i: (old_r, old_i))
+                if use_cond:
+                    nr, ni = jax.lax.cond(
+                        live, update,
+                        lambda old_r=old_r, old_i=old_i: (old_r, old_i))
+                else:
+                    nr, ni = update()
                 parts_r.append(nr)
                 parts_i.append(ni)
             new_r = jnp.concatenate(parts_r, axis=-1)
@@ -324,7 +361,7 @@ def _window_sweep(xr, xi, am, wr_ref, wi_ref, nz, thr, *, Q, L, F, P, T_loop,
 def _sweeps_kernel(thr_ref, mean_ref, sr_hbm, si_hbm, amp_hbm, wr_ref, wi_ref,
                    osr_hbm, osi_hbm, xr, xi, am, sem, *, T, F, Q, L, iters,
                    micro, nz, inner_passes, inner_scheme, P, frame_unroll=1,
-                   window_carry="stack", lane_skip=False):
+                   window_carry="stack", lane_skip=False, tap_chunks=1):
     # scratch/slab lane width is padded to a 128 multiple (DMA requires
     # tile-aligned transfers); compute slices values down to F lanes
     """One program = P utterances. Scratch layout (rows, P, F); frame t at
@@ -353,7 +390,7 @@ def _sweeps_kernel(thr_ref, mean_ref, sr_hbm, si_hbm, amp_hbm, wr_ref, wi_ref,
                       Q=Q, L=L, F=F, P=P, T_loop=T, nxt_cap=T + 2 * Q1 - 1,
                       inner_scheme=inner_scheme, has_centre=has_centre,
                       carry=window_carry, frame_unroll=frame_unroll,
-                      lane_skip=lane_skip)
+                      lane_skip=lane_skip, tap_chunks=tap_chunks)
         return _
 
     def group_update(it, grp, _):
@@ -436,6 +473,7 @@ def packed_lws_sweeps(
     frame_unroll: int = 1,
     window_carry: str = "stack",
     lane_skip: bool = False,
+    tap_chunks: int = 1,
 ):
     """Batch/no-future sweeps, P utterances per program. (B, T, F) planes.
 
@@ -487,7 +525,7 @@ def packed_lws_sweeps(
         _sweeps_kernel, T=T, F=F, Q=Q, L=L, iters=iters, micro=micro,
         nz=st.nz, inner_passes=int(inner_passes), inner_scheme=inner_scheme,
         P=P, frame_unroll=int(frame_unroll), window_carry=window_carry,
-        lane_skip=bool(lane_skip))
+        lane_skip=bool(lane_skip), tap_chunks=int(tap_chunks))
 
     rows = (Q - 1) + n_groups * micro + (Q - 1) + micro  # + read slack
     hbm = pl.BlockSpec(memory_space=pl.ANY)
@@ -1002,7 +1040,7 @@ def _tiled_sweeps_kernel(thr_ref, mean_ref, s_hbm_r, s_hbm_i, amp_hbm,
                          wr_ref, wi_ref, live_ref, osr_hbm, osi_hbm, xr, xi,
                          am, sem, *, T, F, Q, L, iters, micro, nz,
                          inner_passes, inner_scheme, P, TT, frame_unroll=1,
-                         window_carry="stack", lane_skip=False):
+                         window_carry="stack", lane_skip=False, tap_chunks=1):
     """Long-T variant: the evolving state lives in the (pre-halo-padded)
     OUTPUT slab in HBM; each iteration sweeps time tiles of TT frames,
     DMA-ing tile+halo in and the updated tile out. Because tiles are
@@ -1033,7 +1071,7 @@ def _tiled_sweeps_kernel(thr_ref, mean_ref, s_hbm_r, s_hbm_i, amp_hbm,
                       has_centre=has_centre,
                       valid_fn=lambda mm: (t0 + mm) < T,
                       carry=window_carry, frame_unroll=frame_unroll,
-                      lane_skip=lane_skip)
+                      lane_skip=lane_skip, tap_chunks=tap_chunks)
 
     def tile_sweep(it, k, _):
         thr = thr_ref[it] * mean_amp
@@ -1148,6 +1186,7 @@ def tiled_lws_sweeps(
     frame_unroll: int = 1,
     window_carry: str = "stack",
     lane_skip: bool = False,
+    tap_chunks: int = 1,
 ):
     """Batch/no-future sweeps for arbitrary T: exact same frame order as
     packed_lws_sweeps, with the state streamed through VMEM in time tiles.
@@ -1184,7 +1223,8 @@ def tiled_lws_sweeps(
     P = min(int(pack), max(8, _cdiv(B, 8) * 8))
     if tile is None:
         tile = _tiled_tile(F, Q, L, P, micro,
-                           itemsize=jnp.dtype(storage or sr.dtype).itemsize)
+                           itemsize=jnp.dtype(storage or sr.dtype).itemsize,
+                           tap_chunks=int(tap_chunks))
         if tile is None:
             # fixed costs leave no useful tile (tiled_supported is the
             # caller-facing predicate and uses the same sizing)
@@ -1253,7 +1293,7 @@ def tiled_lws_sweeps(
         _tiled_sweeps_kernel, T=T, F=F, Q=Q, L=L, iters=iters, micro=micro,
         nz=st.nz, inner_passes=int(inner_passes), inner_scheme=inner_scheme,
         P=P, TT=TT, frame_unroll=int(frame_unroll), window_carry=window_carry,
-        lane_skip=bool(lane_skip))
+        lane_skip=bool(lane_skip), tap_chunks=int(tap_chunks))
 
     hbm = pl.BlockSpec(memory_space=pl.ANY)
     wspec = pl.BlockSpec((2 * Q - 1, 2 * L + 1, F), lambda g: (0, 0, 0),
@@ -1313,6 +1353,7 @@ def segmented_lws_sweeps(
     frame_unroll: int = 1,
     window_carry: str = "stack",
     lane_skip: bool = False,
+    tap_chunks: int = 1,
 ):
     """Batch/no-future sweeps with each utterance's time axis split into
     `segments` virtual utterances that fill the sublane pack.
@@ -1383,7 +1424,8 @@ def segmented_lws_sweeps(
             inner_passes=inner_passes, inner_scheme=inner_scheme,
             storage=storage, interpret=interpret, halo=halo,
             mean_amp=mean_seg, frame_unroll=frame_unroll,
-            window_carry=window_carry, lane_skip=lane_skip)
+            window_carry=window_carry, lane_skip=lane_skip,
+            tap_chunks=tap_chunks)
 
     cr, ci = seg_r, seg_i
     if rounds:

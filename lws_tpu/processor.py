@@ -90,6 +90,7 @@ class LWS:
         pallas_storage=None,
         pallas_unroll=1,
         pallas_window="stack",
+        pallas_tap_chunks=1,
         auto_segment=True,
     ):
         if isinstance(awin_or_fsize, (int, np.integer)):
@@ -146,6 +147,12 @@ class LWS:
         if pallas_window not in ("stack", "rows"):
             raise ValueError("pallas_window must be 'stack' or 'rows'")
         self.pallas_window = pallas_window
+        # tap-accumulation chunking (ops/pallas_packed._chunk_bounds):
+        # computing the stencil update in n frequency chunks divides the
+        # kernel's scoped-VMEM spill by ~n (bit-identical output), letting
+        # wide sublane packs fit high-Q/large-F geometries (e.g. the
+        # vocoder's Q=8, F=1025 at pack=16)
+        self.pallas_tap_chunks = int(pallas_tap_chunks)
         self.auto_segment = bool(auto_segment)
         # Q=2 couples every frame to its direct neighbours; any within-group
         # parallel update destabilises the iteration (measured), so fall back
@@ -228,24 +235,28 @@ class LWS:
             inner_passes=self.inner_passes,
             inner_scheme=self.inner_scheme, storage=self.pallas_storage,
             frame_unroll=self.pallas_unroll,
-            window_carry=self.pallas_window),
+            window_carry=self.pallas_window,
+            tap_chunks=self.pallas_tap_chunks),
             static_argnames=("pack",))
         self._nofuture_tiled = jax.jit(functools.partial(
             tiled_lws_sweeps, st=self._st_nofuture, micro=self.pallas_micro,
             storage=self.pallas_storage, frame_unroll=self.pallas_unroll,
-            window_carry=self.pallas_window),
+            window_carry=self.pallas_window,
+            tap_chunks=self.pallas_tap_chunks),
             static_argnames=("pack",))
         self._batch_seg = jax.jit(functools.partial(
             segmented_lws_sweeps, st=self._st_batch, micro=self.pallas_micro,
             inner_passes=self.inner_passes,
             inner_scheme=self.inner_scheme, storage=self.pallas_storage,
             frame_unroll=self.pallas_unroll,
-            window_carry=self.pallas_window),
+            window_carry=self.pallas_window,
+            tap_chunks=self.pallas_tap_chunks),
             static_argnames=("segments", "sweeps_per_exchange", "pack"))
         self._nofuture_seg = jax.jit(functools.partial(
             segmented_lws_sweeps, st=self._st_nofuture, micro=self.pallas_micro,
             storage=self.pallas_storage, frame_unroll=self.pallas_unroll,
-            window_carry=self.pallas_window),
+            window_carry=self.pallas_window,
+            tap_chunks=self.pallas_tap_chunks),
             static_argnames=("segments", "sweeps_per_exchange", "pack"))
 
     def _pallas_base_ok(self):
@@ -281,7 +292,8 @@ class LWS:
             while S >= 1:
                 if tiled_supported(F, self._Qi, self.L, pack=p,
                                    micro=self.pallas_micro, B=B * S,
-                                   itemsize=isz):
+                                   itemsize=isz,
+                                   tap_chunks=self.pallas_tap_chunks):
                     return p, S
                 S //= 2
         return None
@@ -499,7 +511,8 @@ class LWS:
         packs = (self.pallas_pack,) if self.pallas_pack <= 8 else (self.pallas_pack, 8)
         for p in packs:
             if tiled_supported(F, self._Qi, self.L, pack=p,
-                               micro=self.pallas_micro, B=B, itemsize=isz):
+                               micro=self.pallas_micro, B=B, itemsize=isz,
+                               tap_chunks=self.pallas_tap_chunks):
                 return p
         return None
 

@@ -49,6 +49,10 @@ def study_signal(n, rng, sr=16000):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--signals", type=int, default=6)
+    ap.add_argument("--inner-passes", type=int, default=1,
+                    help="LWS inner_passes (in-frame centre-tap re-passes)")
+    ap.add_argument("--inner-scheme", default=None,
+                    help="override the LWS inner_scheme (default: per-Q auto)")
     args = ap.parse_args()
 
     with tempfile.TemporaryDirectory() as wd:
@@ -65,7 +69,9 @@ def main():
             W_af = mg.create_weights(win_af, swin, fshift, L)
 
             proc = LWS(fsize, fshift, L=L, dtype=jnp.float64,
-                       nofuture_iterations=1, online_iterations=10)
+                       nofuture_iterations=1, online_iterations=10,
+                       inner_passes=args.inner_passes,
+                       inner_scheme=args.inner_scheme)
             rng = np.random.default_rng(hash(name) % 2 ** 31)
             deltas = []
             for s in range(args.signals):
