@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.stencil import Stencil, _parse_colors
+from ..core.stencil import Stencil, _parse_colors, freq_extend
 
 __all__ = ["packed_lws_sweeps", "packed_rtisi_la", "packed_supported",
            "online_supported", "tiled_supported", "tiled_lws_sweeps",
@@ -56,7 +56,8 @@ def packed_supported(T: int, F: int, Q: int, L: int, pack: int = 4,
 
 
 def _tiled_tile(F: int, Q: int, L: int, P: int, micro: int = 1,
-                itemsize: int = 4, tap_chunks: int = 1):
+                itemsize: int = 4, tap_chunks: int = 1,
+                window_carry: str = "stack"):
     """VMEM time-tile sizing for the tiled kernel; None if the geometry does
     not fit (the SINGLE source of truth — tiled_supported and
     tiled_lws_sweeps both use it, so the gate can never pass a geometry the
@@ -77,13 +78,25 @@ def _tiled_tile(F: int, Q: int, L: int, P: int, micro: int = 1,
     then downshifts the pack or takes the XLA fallback)."""
     micro = max(1, int(micro))
     fpad = _cdiv(F, 128) * 128
-    row = 3 * P * fpad * itemsize  # one time-row across the 3 state planes
-    halo_bytes = 4 * (Q - 1) * P * fpad * itemsize  # window halos, 2 planes
+    epad = _cdiv(F + 2 * L, 128) * 128  # direct mode: pre-extended rows
+    spad = epad if window_carry == "direct" else fpad
+    # one time-row across the 3 state planes (2 state at spad + amp at fpad)
+    row = (2 * spad + fpad) * P * itemsize
+    halo_bytes = 4 * (Q - 1) * P * spad * itemsize  # window halos, 2 planes
     ntaps = (2 * Q - 1) * (2 * L + 1)
     # tap-chunked accumulation (_chunk_bounds) bounds the spill to one
-    # chunk's width of live temporaries instead of the whole row
+    # chunk's width of live temporaries instead of the whole row; measured
+    # on-chip the reduction is sublinear (Mosaic keeps some cross-chunk
+    # values live): Q=8/F=1025/P=16 with 2 chunks demands 17.14M where the
+    # 1.1x-of-one-chunk model predicts 7.4M of stack — calibrate chunked
+    # spills at 1.45x of one chunk's taps
     chunk_fpad = _cdiv(_cdiv(F, 128), max(1, int(tap_chunks))) * 128
-    stack_bytes = int(1.1 * ntaps * P * chunk_fpad * 4)  # spills are f32 compute
+    factor = 1.1 if int(tap_chunks) <= 1 else 1.45
+    stack_bytes = int(factor * ntaps * P * chunk_fpad * 4)
+    if window_carry == "direct":
+        # no carried window: live values are the 2Q-1 row loads of the
+        # current frame plus a handful of accumulator/epilogue temporaries
+        stack_bytes = int(1.3 * (2 * Q + 10) * P * epad * 4)
     budget = 15 * 2 ** 20 + 2 ** 18 - halo_bytes - stack_bytes
     rows = budget // row
     if rows < 8:
@@ -93,7 +106,7 @@ def _tiled_tile(F: int, Q: int, L: int, P: int, micro: int = 1,
 
 def tiled_supported(F: int, Q: int, L: int, pack: int = 8, micro: int = 1,
                     B: int | None = None, itemsize: int = 4,
-                    tap_chunks: int = 1) -> bool:
+                    tap_chunks: int = 1, window_carry: str = "stack") -> bool:
     """Whether the time-tiled kernel can run this geometry at the given pack
     (pass the batch size B to account for the kernel's own pack clamp for
     underfilled batches, and the storage itemsize when using bf16 planes).
@@ -103,7 +116,8 @@ def tiled_supported(F: int, Q: int, L: int, pack: int = 8, micro: int = 1,
         return False
     P = int(pack) if B is None else min(int(pack), max(8, _cdiv(B, 8) * 8))
     return _tiled_tile(F, Q, L, P, micro, itemsize=itemsize,
-                       tap_chunks=tap_chunks) is not None
+                       tap_chunks=tap_chunks,
+                       window_carry=window_carry) is not None
 
 
 def _freq_halo(rows_r, rows_i, F, L):
@@ -190,7 +204,7 @@ def _chunk_bounds(F, n):
 def _window_sweep(xr, xi, am, wr_ref, wi_ref, nz, thr, *, Q, L, F, P, T_loop,
                   nxt_cap, inner_scheme, has_centre, valid_fn=None,
                   carry="stack", frame_unroll=1, lane_skip=False,
-                  tap_chunks=1):
+                  tap_chunks=1, inner_passes=1):
     """micro=1 fast path shared by the packed and tiled sweep kernels: a
     sliding register window of the 2Q-1 freq-extended frame rows around the
     update point — one row read + one row write-back per frame instead of
@@ -204,11 +218,120 @@ def _window_sweep(xr, xi, am, wr_ref, wi_ref, nz, thr, *, Q, L, F, P, T_loop,
         re-binding — pure SSA renaming with no data movement in the IR.
         Combined with frame_unroll=2Q-1 the slot assignment is static
         across each unrolled body, so Mosaic never has to copy the window.
-    Both are bit-identical by construction (same arithmetic in the same
-    order); which compiles faster is empirical (tools/unroll_experiment.py).
+      - "direct": NO carried window at all — the scratch slabs hold
+        frequency-PRE-EXTENDED rows (lanes [0, F+2L): conjugate-reflected
+        halo | interior | halo) and every tap reads its row straight from
+        scratch at a dynamic leading-dim offset. No per-frame shift, no
+        halo rebuild of shifted-in rows, and no 2Q-1-row live window for
+        Mosaic to spill: the scoped stack stays O(one row) at any Q, so
+        wide sublane packs fit geometries the carried modes cannot.
+        Requires the caller to build extended slabs (see packed/tiled
+        wrappers) and is mutually exclusive with lane_skip/tap_chunks
+        (there is nothing left to chunk).
+    All modes are bit-identical by construction in float32 storage (same
+    arithmetic in the same order; "direct" re-reads rows it just wrote,
+    which only differs when storage rounds, i.e. bf16).
     """
     Q1 = Q - 1
     cdt = jnp.promote_types(xr.dtype, jnp.float32)
+    use_colors_d = inner_scheme != "jacobi" and has_centre
+    # in-frame jacobi re-passes (core/stencil.py update_frame's
+    # inner_passes): centre-row taps recomputed against the evolving row
+    multi_pass = inner_passes > 1 and has_centre and not use_colors_d
+
+    def passes_update(tr, ti, cen_r, cen_i, amp_m, valid):
+        """Multi-pass centre update: each pass recomputes the same-frame
+        taps from the previous pass's updated row; the select fallback stays
+        the original row (update_frame jacobi semantics)."""
+        old_r = cen_r[..., L:L + F]
+        old_i = cen_i[..., L:L + F]
+        cr_rows, ci_rows = cen_r, cen_i
+        new_r = old_r
+        new_i = old_i
+        for _pass in range(inner_passes):
+            # centre taps summed separately, then added to the off-centre
+            # total — the exact float order of update_frame's centre_taps
+            # (core/stencil.py), so kernel and XLA paths stay bit-equal
+            cr = jnp.zeros_like(tr)
+            ci = jnp.zeros_like(tr)
+            for dk in range(2 * L + 1):
+                if not nz[Q1, dk]:
+                    continue
+                wr = wr_ref[Q1, dk, :]
+                wi = wi_ref[Q1, dk, :]
+                cr = cr + (wr * cr_rows[..., dk:dk + F] - wi * ci_rows[..., dk:dk + F])
+                ci = ci + (wr * ci_rows[..., dk:dk + F] + wi * cr_rows[..., dk:dk + F])
+            fr, fi = tr + cr, ti + ci
+            a = jnp.sqrt(fr * fr + fi * fi)
+            scale = amp_m / jnp.where(a > 0, a, 1)
+            cond = (amp_m > thr) & (a > 0)
+            if valid is not None:
+                cond = cond & valid
+            new_r = jnp.where(cond, fr * scale, old_r)
+            new_i = jnp.where(cond, fi * scale, old_i)
+            if _pass + 1 < inner_passes:
+                cr_rows, ci_rows = _freq_halo(new_r, new_i, F, L)
+        return new_r, new_i
+
+    if carry == "direct":
+        if lane_skip:
+            raise ValueError("lane_skip is not supported with carry='direct'")
+        E = F + 2 * L
+
+        def frame_body_d(m, carry_d):
+            tr = jnp.zeros((1, P, F), dtype=cdt)
+            ti = jnp.zeros_like(tr)
+            cen_r = cen_i = None
+            for dr in range(2 * Q - 1):
+                centre = dr == Q1
+                if not centre and not nz[dr].any():
+                    continue
+                rr = xr[pl.ds(m + dr, 1)][..., :E].astype(cdt)
+                ri = xi[pl.ds(m + dr, 1)][..., :E].astype(cdt)
+                if centre:
+                    cen_r, cen_i = rr, ri
+                    if use_colors_d or multi_pass:
+                        continue
+                for dk in range(2 * L + 1):
+                    if not nz[dr, dk]:
+                        continue
+                    wr = wr_ref[dr, dk, :]
+                    wi = wi_ref[dr, dk, :]
+                    br = rr[..., dk:dk + F]
+                    bi = ri[..., dk:dk + F]
+                    tr += wr * br - wi * bi
+                    ti += wr * bi + wi * br
+            if cen_r is None:  # centre row never touched by taps: still need
+                cen_r = xr[pl.ds(m + Q1, 1)][..., :E].astype(cdt)
+                cen_i = xi[pl.ds(m + Q1, 1)][..., :E].astype(cdt)
+            amp_m = am[pl.ds(m, 1)][..., :F].astype(cdt)
+            valid = None if valid_fn is None else valid_fn(m)
+            if use_colors_d:
+                _, _, er, ei = _color_rounds(
+                    tr, ti, cen_r, cen_i, amp_m, thr, inner_scheme,
+                    lambda dk: wr_ref[Q1, dk, :],
+                    lambda dk: wi_ref[Q1, dk, :],
+                    nz[Q1], F, L, extra_cond=valid)
+            elif multi_pass:
+                new_r, new_i = passes_update(tr, ti, cen_r, cen_i, amp_m,
+                                             valid)
+                er, ei = _freq_halo(new_r, new_i, F, L)
+            else:
+                a = jnp.sqrt(tr * tr + ti * ti)
+                scale = amp_m / jnp.where(a > 0, a, 1)
+                cond = (amp_m > thr) & (a > 0)
+                if valid is not None:
+                    cond = cond & valid
+                new_r = jnp.where(cond, tr * scale, cen_r[..., L:L + F])
+                new_i = jnp.where(cond, ti * scale, cen_i[..., L:L + F])
+                er, ei = _freq_halo(new_r, new_i, F, L)
+            xr[pl.ds(Q1 + m, 1), :, :E] = er.astype(xr.dtype)
+            xi[pl.ds(Q1 + m, 1), :, :E] = ei.astype(xi.dtype)
+            return carry_d
+
+        unroll_d = True if (frame_unroll < 0 or frame_unroll > 1) else False
+        jax.lax.fori_loop(0, T_loop, frame_body_d, 0, unroll=unroll_d)
+        return
 
     def halo1(j):
         rr = xr[pl.ds(j, 1)][..., :F].astype(cdt)
@@ -239,7 +362,7 @@ def _window_sweep(xr, xi, am, wr_ref, wi_ref, nz, thr, *, Q, L, F, P, T_loop,
     # `tap_chunks` reuses the same chunked arithmetic WITHOUT the skip
     # branch, purely to bound Mosaic's live-temporary spill (_chunk_bounds).
     chunks = use_cond = None
-    if not use_colors:
+    if not use_colors and not multi_pass:
         if lane_skip:
             chunks, use_cond = _lane_chunks(F), True
         elif tap_chunks > 1:
@@ -305,8 +428,8 @@ def _window_sweep(xr, xi, am, wr_ref, wi_ref, nz, thr, *, Q, L, F, P, T_loop,
         tr = jnp.zeros((1, P, F), dtype=cdt)
         ti = jnp.zeros_like(tr)
         for dr in range(2 * Q - 1):
-            if use_colors and dr == Q1:
-                continue  # centre taps handled by the color rounds
+            if (use_colors or multi_pass) and dr == Q1:
+                continue  # centre taps handled by the color/passes rounds
             rr = ri = None
             for dk in range(2 * L + 1):
                 if not nz[dr, dk]:
@@ -327,6 +450,9 @@ def _window_sweep(xr, xi, am, wr_ref, wi_ref, nz, thr, *, Q, L, F, P, T_loop,
                 tr, ti, cen_r, cen_i, amp_m, thr, inner_scheme,
                 lambda dk: wr_ref[Q1, dk, :], lambda dk: wi_ref[Q1, dk, :],
                 nz[Q1], F, L, extra_cond=valid)
+        elif multi_pass:
+            new_r, new_i = passes_update(tr, ti, cen_r, cen_i, amp_m, valid)
+            er, ei = _freq_halo(new_r, new_i, F, L)
         else:
             a = jnp.sqrt(tr * tr + ti * ti)
             scale = amp_m / jnp.where(a > 0, a, 1)
@@ -390,7 +516,8 @@ def _sweeps_kernel(thr_ref, mean_ref, sr_hbm, si_hbm, amp_hbm, wr_ref, wi_ref,
                       Q=Q, L=L, F=F, P=P, T_loop=T, nxt_cap=T + 2 * Q1 - 1,
                       inner_scheme=inner_scheme, has_centre=has_centre,
                       carry=window_carry, frame_unroll=frame_unroll,
-                      lane_skip=lane_skip, tap_chunks=tap_chunks)
+                      lane_skip=lane_skip, tap_chunks=tap_chunks,
+                      inner_passes=inner_passes)
         return _
 
     def group_update(it, grp, _):
@@ -493,6 +620,9 @@ def packed_lws_sweeps(
     micro = max(1, int(micro))
     P = int(pack)
 
+    direct = window_carry == "direct"
+    if direct and micro > 1:
+        raise ValueError("window_carry='direct' requires micro=1")
     amp = jnp.sqrt(sr * sr + si * si)
     mean_amp = jnp.mean(amp, axis=(-2, -1))  # (B,)
 
@@ -508,16 +638,25 @@ def packed_lws_sweeps(
         amp = jnp.pad(amp, ((0, 0), (0, t_pad), (0, 0)))
 
     # (G, T, P, Fpad) layout: each program DMAs its whole slab via at[g];
-    # lane width padded to the 128 tile so DMA needs no lane slicing
+    # lane width padded to the 128 tile so DMA needs no lane slicing.
+    # direct mode stores rows frequency-PRE-EXTENDED (F+2L lanes, Spad wide)
+    # so the kernel reads taps straight from scratch (see _window_sweep).
     Fpad = _cdiv(F, 128) * 128
+    Spad = _cdiv(F + 2 * L, 128) * 128 if direct else Fpad
 
     sdt = storage or sr.dtype
 
-    def to_slabs(a):
-        a = jnp.moveaxis(a.reshape(G, P, a.shape[1], F), 1, 2)
-        return jnp.pad(a, ((0, 0), (0, 0), (0, 0), (0, Fpad - F))).astype(sdt)
+    def to_slabs(a, width=Fpad):
+        a = jnp.moveaxis(a.reshape(G, P, a.shape[1], a.shape[-1]), 1, 2)
+        pad = width - a.shape[-1]
+        return jnp.pad(a, ((0, 0), (0, 0), (0, 0), (0, pad))).astype(sdt)
 
-    sr_t, si_t, amp_t = to_slabs(sr), to_slabs(si), to_slabs(amp)
+    if direct:
+        sr_e, si_e = freq_extend(sr, si, L)
+        sr_t, si_t = to_slabs(sr_e, Spad), to_slabs(si_e, Spad)
+    else:
+        sr_t, si_t = to_slabs(sr), to_slabs(si)
+    amp_t = to_slabs(amp)
     mean_t = mean_amp.reshape(G, P, 1)
 
     wdt = jnp.promote_types(sr.dtype, jnp.float32)
@@ -540,11 +679,11 @@ def packed_lws_sweeps(
             hbm, hbm, hbm, wspec, wspec,
         ],
         out_specs=(hbm, hbm),
-        out_shape=(jax.ShapeDtypeStruct((G, T, P, Fpad), sdt),
-                   jax.ShapeDtypeStruct((G, T, P, Fpad), sdt)),
+        out_shape=(jax.ShapeDtypeStruct((G, T, P, Spad), sdt),
+                   jax.ShapeDtypeStruct((G, T, P, Spad), sdt)),
         scratch_shapes=[
-            pltpu.VMEM((rows, P, Fpad), sdt),
-            pltpu.VMEM((rows, P, Fpad), sdt),
+            pltpu.VMEM((rows, P, Spad), sdt),
+            pltpu.VMEM((rows, P, Spad), sdt),
             pltpu.VMEM((n_groups * micro, P, Fpad), sdt),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -553,9 +692,11 @@ def packed_lws_sweeps(
     )(thresholds.astype(sr.dtype), mean_t, sr_t, si_t, amp_t,
       st.Wr[:, :, :F].astype(wdt), st.Wi[:, :, :F].astype(wdt))
 
-    def from_slabs(a):  # (G, T, P, Fpad) -> (B, T, F)
+    off = L if direct else 0
+
+    def from_slabs(a):  # (G, T, P, Spad) -> (B, T, F)
         a = a.astype(sr.dtype)
-        return jnp.moveaxis(a[..., :F], 2, 1).reshape(G * P, T, F)[:B]
+        return jnp.moveaxis(a[..., off:off + F], 2, 1).reshape(G * P, T, F)[:B]
 
     osr, osi = from_slabs(osr), from_slabs(osi)
     if squeeze:
@@ -1071,7 +1212,8 @@ def _tiled_sweeps_kernel(thr_ref, mean_ref, s_hbm_r, s_hbm_i, amp_hbm,
                       has_centre=has_centre,
                       valid_fn=lambda mm: (t0 + mm) < T,
                       carry=window_carry, frame_unroll=frame_unroll,
-                      lane_skip=lane_skip, tap_chunks=tap_chunks)
+                      lane_skip=lane_skip, tap_chunks=tap_chunks,
+                      inner_passes=inner_passes)
 
     def tile_sweep(it, k, _):
         thr = thr_ref[it] * mean_amp
@@ -1218,13 +1360,17 @@ def tiled_lws_sweeps(
         raise ValueError(f"packed kernel supports Q <= {MAX_Q}, got Q={Q}")
     iters = int(thresholds.shape[0])
     micro = max(1, int(micro))
+    direct = window_carry == "direct"
+    if direct and micro > 1:
+        raise ValueError("window_carry='direct' requires micro=1")
     # don't pack more utterances than the batch fills (rounded to the
     # 8-sublane tile): dead sublane tiles would burn VPU cycles
     P = min(int(pack), max(8, _cdiv(B, 8) * 8))
     if tile is None:
         tile = _tiled_tile(F, Q, L, P, micro,
                            itemsize=jnp.dtype(storage or sr.dtype).itemsize,
-                           tap_chunks=int(tap_chunks))
+                           tap_chunks=int(tap_chunks),
+                           window_carry=window_carry)
         if tile is None:
             # fixed costs leave no useful tile (tiled_supported is the
             # caller-facing predicate and uses the same sizing)
@@ -1252,21 +1398,24 @@ def tiled_lws_sweeps(
     n_tiles = _cdiv(T, TT)
     t_pad = n_tiles * TT - T
     Fpad = _cdiv(F, 128) * 128
+    # direct mode: state rows are stored frequency-pre-extended (F+2L lanes)
+    Spad = _cdiv(F + 2 * L, 128) * 128 if direct else Fpad
 
     sdt = storage or sr.dtype
     out_dt = sr.dtype
 
-    def to_slabs(a, with_halo, top_h=None, bot_h=None):
-        # (B, T, F) -> (G, Q1 + T + t_pad + Q1, P, Fpad) with time halos
+    def to_slabs(a, with_halo, top_h=None, bot_h=None, width=Fpad):
+        # (B, T, Fx) -> (G, Q1 + T + t_pad + Q1, P, width) with time halos
         # (explicit frames when given, edge replicas otherwise)
-        a = jnp.moveaxis(a.reshape(G, P, T, F), 1, 2)
+        Fx = a.shape[-1]
+        a = jnp.moveaxis(a.reshape(G, P, T, Fx), 1, 2)
         if with_halo:
             if top_h is None:
                 top = jnp.tile(a[:, :1], (1, Q1, 1, 1))
                 bot = jnp.tile(a[:, -1:], (1, Q1 + t_pad, 1, 1))
             else:
-                top = jnp.moveaxis(top_h.reshape(G, P, Q1, F), 1, 2)
-                bot = jnp.moveaxis(bot_h.reshape(G, P, Q1, F), 1, 2)
+                top = jnp.moveaxis(top_h.reshape(G, P, Q1, Fx), 1, 2)
+                bot = jnp.moveaxis(bot_h.reshape(G, P, Q1, Fx), 1, 2)
                 # t_pad filler rows are only ever read as neighbours of
                 # masked (invalid) frames; replicate the last halo frame
                 bot = jnp.concatenate(
@@ -1274,14 +1423,20 @@ def tiled_lws_sweeps(
             a = jnp.concatenate([top, a, bot], axis=1)
         elif t_pad:
             a = jnp.pad(a, ((0, 0), (0, t_pad), (0, 0), (0, 0)))
-        return jnp.pad(a, ((0, 0), (0, 0), (0, 0), (0, Fpad - F))).astype(sdt)
+        return jnp.pad(a, ((0, 0), (0, 0), (0, 0), (0, width - Fx))).astype(sdt)
 
-    if halo is None:
-        sr_t = to_slabs(sr, True)
-        si_t = to_slabs(si, True)
+    if direct:
+        sr_x, si_x = freq_extend(sr, si, L)
+        halo_x = (None if halo is None else
+                  freq_extend(halo[0], halo[1], L) + freq_extend(halo[2], halo[3], L))
     else:
-        sr_t = to_slabs(sr, True, halo[0], halo[2])
-        si_t = to_slabs(si, True, halo[1], halo[3])
+        sr_x, si_x, halo_x = sr, si, halo
+    if halo_x is None:
+        sr_t = to_slabs(sr_x, True, width=Spad)
+        si_t = to_slabs(si_x, True, width=Spad)
+    else:
+        sr_t = to_slabs(sr_x, True, halo_x[0], halo_x[2], width=Spad)
+        si_t = to_slabs(si_x, True, halo_x[1], halo_x[3], width=Spad)
     amp_t = to_slabs(amp, False)
     mean_t = mean_amp.reshape(G, P, 1)
     # amp/mean_amp are already batch-padded with zeros here, which can never
@@ -1309,11 +1464,11 @@ def tiled_lws_sweeps(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(hbm, hbm),
-        out_shape=(jax.ShapeDtypeStruct((G, rows_hbm, P, Fpad), sdt),
-                   jax.ShapeDtypeStruct((G, rows_hbm, P, Fpad), sdt)),
+        out_shape=(jax.ShapeDtypeStruct((G, rows_hbm, P, Spad), sdt),
+                   jax.ShapeDtypeStruct((G, rows_hbm, P, Spad), sdt)),
         scratch_shapes=[
-            pltpu.VMEM((TT + 2 * Q1, P, Fpad), sdt),
-            pltpu.VMEM((TT + 2 * Q1, P, Fpad), sdt),
+            pltpu.VMEM((TT + 2 * Q1, P, Spad), sdt),
+            pltpu.VMEM((TT + 2 * Q1, P, Spad), sdt),
             pltpu.VMEM((TT, P, Fpad), sdt),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -1323,8 +1478,10 @@ def tiled_lws_sweeps(
     )(thresholds.astype(sr.dtype), mean_t, sr_t, si_t, amp_t,
       st.Wr[:, :, :F].astype(wdt), st.Wi[:, :, :F].astype(wdt), live_t)
 
+    off = L if direct else 0
+
     def from_slabs(a):  # strip halos + pads
-        a = a[:, Q1:Q1 + T, :, :F].astype(out_dt)
+        a = a[:, Q1:Q1 + T, :, off:off + F].astype(out_dt)
         return jnp.moveaxis(a, 2, 1).reshape(G * P, T, F)[:B]
 
     osr, osi = from_slabs(osr), from_slabs(osi)

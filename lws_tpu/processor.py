@@ -144,8 +144,9 @@ class LWS:
         # loop-carried window representation in the sweep kernels: "stack"
         # (concat shift) or "rows" (tuple carry, SSA-renamed shift) — bit-
         # identical outputs, different Mosaic compilation (PERF.md)
-        if pallas_window not in ("stack", "rows"):
-            raise ValueError("pallas_window must be 'stack' or 'rows'")
+        if pallas_window not in ("stack", "rows", "direct"):
+            raise ValueError(
+                "pallas_window must be 'stack', 'rows' or 'direct'")
         self.pallas_window = pallas_window
         # tap-accumulation chunking (ops/pallas_packed._chunk_bounds):
         # computing the stencil update in n frequency chunks divides the
@@ -293,7 +294,8 @@ class LWS:
                 if tiled_supported(F, self._Qi, self.L, pack=p,
                                    micro=self.pallas_micro, B=B * S,
                                    itemsize=isz,
-                                   tap_chunks=self.pallas_tap_chunks):
+                                   tap_chunks=self.pallas_tap_chunks,
+                                   window_carry=self.pallas_window):
                     return p, S
                 S //= 2
         return None
@@ -512,7 +514,8 @@ class LWS:
         for p in packs:
             if tiled_supported(F, self._Qi, self.L, pack=p,
                                micro=self.pallas_micro, B=B, itemsize=isz,
-                               tap_chunks=self.pallas_tap_chunks):
+                               tap_chunks=self.pallas_tap_chunks,
+                               window_carry=self.pallas_window):
                 return p
         return None
 

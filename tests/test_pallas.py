@@ -584,3 +584,78 @@ def test_lane_skip_is_bit_neutral(golden_q4):
                           interpret=True, lane_skip=True)
     np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(base[0]))
     np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(base[1]))
+
+
+@pytest.mark.parametrize("scheme", ["jacobi", "color2x3"])
+def test_direct_carry_is_bit_neutral(golden_q4, scheme):
+    """window_carry='direct' (no carried window: rows stored frequency-pre-
+    extended in the slabs, taps read straight from scratch) is bit-identical
+    to the stacked-window formulation on all three batch-path kernels, both
+    inner schemes, and the no-future visibility. Thresholds are chosen so
+    the sweeps are genuinely live (asserted), not no-ops."""
+    from lws_tpu.ops.pallas_packed import (packed_lws_sweeps,
+                                           segmented_lws_sweeps,
+                                           tiled_lws_sweeps)
+
+    p, A, pair = _setup(golden_q4, max_t=40)
+    thr = jnp.asarray(get_thresholds(3, 0.5, 0.5, 1), dtype=jnp.float32)
+    seg = functools.partial(segmented_lws_sweeps, segments=2)
+    for fn in (tiled_lws_sweeps, packed_lws_sweeps, seg):
+        base = fn(*pair, st=p._st_batch, thresholds=thr, pack=2,
+                  inner_scheme=scheme, interpret=True)
+        assert np.abs(np.asarray(base[0]) - np.asarray(pair[0])).max() > 0
+        got = fn(*pair, st=p._st_batch, thresholds=thr, pack=2,
+                 inner_scheme=scheme, interpret=True, window_carry="direct")
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(base[0]))
+        np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(base[1]))
+    base = tiled_lws_sweeps(*pair, st=p._st_nofuture, thresholds=thr, pack=2,
+                            interpret=True)
+    got = tiled_lws_sweeps(*pair, st=p._st_nofuture, thresholds=thr, pack=2,
+                           interpret=True, window_carry="direct")
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(base[0]))
+
+
+def test_tap_chunks_are_bit_neutral(golden_q4):
+    """tap_chunks (chunked tap accumulation to bound the Mosaic stack spill)
+    is bit-identical to the whole-row update on the batch kernels."""
+    from lws_tpu.ops.pallas_packed import (packed_lws_sweeps,
+                                           tiled_lws_sweeps)
+
+    p, A, pair = _setup(golden_q4, max_t=40)
+    thr = jnp.asarray(get_thresholds(3, 0.5, 0.5, 1), dtype=jnp.float32)
+    for fn in (tiled_lws_sweeps, packed_lws_sweeps):
+        base = fn(*pair, st=p._st_batch, thresholds=thr, pack=2,
+                  interpret=True)
+        assert np.abs(np.asarray(base[0]) - np.asarray(pair[0])).max() > 0
+        for tc in (2, 3):
+            got = fn(*pair, st=p._st_batch, thresholds=thr, pack=2,
+                     interpret=True, tap_chunks=tc)
+            np.testing.assert_array_equal(np.asarray(got[0]),
+                                          np.asarray(base[0]))
+
+
+def test_inner_passes_kernel_matches_xla(golden_q4):
+    """The window kernels honour inner_passes (in-frame jacobi re-passes,
+    core/stencil.py update_frame semantics): float64 agreement with the XLA
+    GS path to 1e-8 for passes in {2, 3}, in both carry modes, and passes=2
+    genuinely changes the result vs passes=1."""
+    from lws_tpu.core.batch import lws_sweeps
+    from lws_tpu.ops.pallas_packed import tiled_lws_sweeps
+
+    p, A, pair = _setup(golden_q4, dtype=jnp.float64, max_t=40)
+    thr = jnp.asarray(get_thresholds(3, 0.5, 0.5, 1), dtype=jnp.float64)
+    one = tiled_lws_sweeps(*pair, st=p._st_batch, thresholds=thr, pack=2,
+                           interpret=True)
+    for passes in (2, 3):
+        ref = lws_sweeps(*pair, st=p._st_batch, thresholds=thr, order="gs",
+                         inner_passes=passes)
+        for carry in ("stack", "direct"):
+            got = tiled_lws_sweeps(*pair, st=p._st_batch, thresholds=thr,
+                                   pack=2, interpret=True,
+                                   inner_passes=passes, window_carry=carry)
+            np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                                       atol=1e-8)
+            np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                                       atol=1e-8)
+        if passes == 2:
+            assert np.abs(np.asarray(ref[0]) - np.asarray(one[0])).max() > 1e-6

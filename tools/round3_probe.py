@@ -33,6 +33,30 @@ def timed(fn, *args, n_rep=3, **kw):
     return out, float(np.median(walls)), compile_wall
 
 
+def probe_batch(variants):
+    import jax.numpy as jnp
+    from lws_tpu import LWS, get_thresholds
+    B, secs, iters = 32, 5.0, 100
+    rng = np.random.default_rng(0)
+    x = make_batch(B, int(secs * 16000), 16000, rng)
+    base = LWS(512, 128)
+    sr, si = base.stft_ri(x)
+    amp = jnp.sqrt(sr * sr + si * si)
+    amp = jnp.asarray(np.asarray(amp))
+    zeros = jnp.zeros_like(amp)
+    thr = jnp.asarray(get_thresholds(iters, 100, 0.1, 1), dtype=base.rdtype)
+    for name, kw in variants:
+        try:
+            proc = LWS(512, 128, **kw)
+            out, wall, cw = timed(proc._batch_fn, amp, zeros, thresholds=thr)
+            c1 = float(np.asarray(proc.get_consistency(out)).mean())
+            print(f"[batch/{name}] wall={wall*1000:.0f}ms "
+                  f"rate={B*secs/wall:.0f} audio-s/s cons={c1:.2f} dB "
+                  f"(first-call {cw:.0f}s)", flush=True)
+        except Exception as e:
+            print(f"[batch/{name}] FAILED: {str(e)[:300]}", flush=True)
+
+
 def probe_vocoder(variants):
     import jax.numpy as jnp
     from lws_tpu import LWS, get_thresholds
@@ -102,12 +126,18 @@ VARIANTS = {
     "c2-unroll-p8": dict(pallas_tap_chunks=2, pallas_unroll=-1,
                          pallas_window="rows", pallas_pack=8),
     "passes2": dict(inner_passes=2),
+    "direct": dict(pallas_window="direct"),
+    "direct-p8": dict(pallas_window="direct", pallas_pack=8),
+    "direct-passes2": dict(pallas_window="direct", inner_passes=2),
+    "direct-unroll": dict(pallas_window="direct", pallas_unroll=-1),
 }
 
 if __name__ == "__main__":
     which = sys.argv[1]
     names = sys.argv[2].split(",") if len(sys.argv) > 2 else ["default"]
     variants = [(n, VARIANTS[n]) for n in names]
+    if which in ("batch", "both"):
+        probe_batch(variants)
     if which in ("vocoder", "both"):
         probe_vocoder(variants)
     if which in ("longform", "both"):
