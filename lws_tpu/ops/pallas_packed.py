@@ -45,14 +45,20 @@ MAX_Q = 16
 
 
 def packed_supported(T: int, F: int, Q: int, L: int, pack: int = 4,
-                     n_sets: int = 1, vmem_budget: int = 14 * 2 ** 20) -> bool:
+                     n_sets: int = 1, vmem_budget: int = 14 * 2 ** 20,
+                     window_carry: str = "stack") -> bool:
     """Whether a fully-VMEM-resident packed kernel fits. `n_sets` is the
     number of stencil weight sets the kernel loads (1 for batch/no-future,
-    2 + look_ahead for online RTISI-LA)."""
+    2 + look_ahead for online RTISI-LA). `window_carry` must match the mode
+    packed_lws_sweeps will run: direct mode stores frequency-pre-extended
+    rows, so its two state planes are Spad = ceil((F+2L)/128)*128 lanes wide
+    instead of Fpad (the amp plane stays Fpad)."""
     fp = _cdiv(F, 128) * 128
-    per_plane = (T + 2 * Q + 8) * pack * fp * 4
+    sp = _cdiv(F + 2 * L, 128) * 128 if window_carry == "direct" else fp
+    rows = T + 2 * Q + 8
+    planes = rows * pack * (2 * sp + fp) * 4
     weights = 2 * n_sets * (2 * Q - 1) * (2 * L + 1) * fp * 4
-    return 3 * per_plane + weights < vmem_budget
+    return planes + weights < vmem_budget
 
 
 def _tiled_tile(F: int, Q: int, L: int, P: int, micro: int = 1,
@@ -80,8 +86,12 @@ def _tiled_tile(F: int, Q: int, L: int, P: int, micro: int = 1,
     fpad = _cdiv(F, 128) * 128
     epad = _cdiv(F + 2 * L, 128) * 128  # direct mode: pre-extended rows
     spad = epad if window_carry == "direct" else fpad
-    # one time-row across the 3 state planes (2 state at spad + amp at fpad)
+    # one time-row across the 3 state planes (2 state at spad + amp at fpad);
+    # direct mode's measured slope runs ~1.2x this (extra live copies of the
+    # wider rows in the same forced-OOM calibration as the stack term below)
     row = (2 * spad + fpad) * P * itemsize
+    if window_carry == "direct":
+        row = int(1.2 * row)
     halo_bytes = 4 * (Q - 1) * P * spad * itemsize  # window halos, 2 planes
     ntaps = (2 * Q - 1) * (2 * L + 1)
     # tap-chunked accumulation (_chunk_bounds) bounds the spill to one
@@ -94,9 +104,13 @@ def _tiled_tile(F: int, Q: int, L: int, P: int, micro: int = 1,
     factor = 1.1 if int(tap_chunks) <= 1 else 1.45
     stack_bytes = int(factor * ntaps * P * chunk_fpad * 4)
     if window_carry == "direct":
-        # no carried window: live values are the 2Q-1 row loads of the
-        # current frame plus a handful of accumulator/epilogue temporaries
-        stack_bytes = int(1.3 * (2 * Q + 10) * P * epad * 4)
+        # no carried window, but Mosaic still keeps a large share of the tap
+        # temporaries live across the frame body: measured on-chip at
+        # Q=8/L=5/F=1025/P=16 (forced-OOM scoped reports: demand 16.02M at
+        # TT=24, 18.13M at TT=32 -> fixed stack ~= 7.6M = 0.57x the full
+        # ntaps*P*epad spill; ~half the carried-stack mode's 1.04x, not the
+        # O(one row) the round-3 model assumed). Budget at 0.65x measured.
+        stack_bytes = int(0.65 * ntaps * P * epad * 4)
     budget = 15 * 2 ** 20 + 2 ** 18 - halo_bytes - stack_bytes
     rows = budget // row
     if rows < 8:
@@ -276,6 +290,11 @@ def _window_sweep(xr, xi, am, wr_ref, wi_ref, nz, thr, *, Q, L, F, P, T_loop,
     if carry == "direct":
         if lane_skip:
             raise ValueError("lane_skip is not supported with carry='direct'")
+        if tap_chunks > 1:
+            # direct mode has no carried window to spill, so there is
+            # nothing for the chunking to bound — reject rather than
+            # silently ignore the knob
+            raise ValueError("tap_chunks > 1 is not supported with carry='direct'")
         E = F + 2 * L
 
         def frame_body_d(m, carry_d):

@@ -80,6 +80,10 @@ def sharded_lws_sweeps(
     pack: int = 1,
     inner_scheme: str = "jacobi",
     interpret: bool = False,
+    storage=None,
+    frame_unroll: int = 1,
+    window_carry: str = "stack",
+    tap_chunks: int = 1,
 ):
     """Time-sharded batch/no-future LWS sweeps with per-sweep halo exchange.
 
@@ -109,7 +113,10 @@ def sharded_lws_sweeps(
         return _sharded_tiled(sr, si, st, thresholds, mesh,
                               sweeps_per_exchange, pack, inner_passes,
                               inner_scheme, interpret, right_perm, left_perm,
-                              T_total)
+                              T_total, storage=storage,
+                              frame_unroll=frame_unroll,
+                              window_carry=window_carry,
+                              tap_chunks=tap_chunks)
     if kernel != "xla":
         raise ValueError(f"unknown kernel {kernel!r}")
 
@@ -170,7 +177,8 @@ def sharded_lws_sweeps(
 
 def _sharded_tiled(sr, si, st, thresholds, mesh, sweeps_per_exchange, pack,
                    inner_passes, inner_scheme, interpret, right_perm,
-                   left_perm, T_total):
+                   left_perm, T_total, storage=None, frame_unroll=1,
+                   window_carry="stack", tap_chunks=1):
     """Halo exchange (XLA ppermute) composed with the tiled Pallas kernel:
     per round, exchange (Q-1)-frame boundary halos, then run
     `sweeps_per_exchange` exact-order Gauss-Seidel sweeps on the local shard
@@ -217,7 +225,9 @@ def _sharded_tiled(sr, si, st, thresholds, mesh, sweeps_per_exchange, pack,
             return tiled_lws_sweeps(
                 cr, ci, st, thr_block, micro=1, pack=pack,
                 inner_passes=inner_passes, inner_scheme=inner_scheme,
-                interpret=interpret,
+                interpret=interpret, storage=storage,
+                frame_unroll=frame_unroll, window_carry=window_carry,
+                tap_chunks=tap_chunks,
                 halo=(top_r, top_i, bot_r, bot_i), mean_amp=mean_amp)
 
         cr, ci = sr_l, si_l

@@ -84,8 +84,6 @@ class LWS:
         inner_passes=1,
         inner_scheme=None,
         backend="auto",
-        pallas_block=16,
-        pallas_micro=1,
         pallas_pack=16,
         pallas_storage=None,
         pallas_unroll=1,
@@ -109,11 +107,23 @@ class LWS:
             # boundary samples then fall outside the perfect-reconstruction region
             if (fftsize - len(awin)) % 2 != 0:
                 raise ValueError("The zero-padding should add even length to the original window.")
+            warnings.warn(
+                "lws_tpu: fftsize exceeds the window length; the windows are "
+                "symmetrically zero-padded, so samples within fftsize/2 of "
+                "the signal boundaries lose perfect reconstruction "
+                "(reference behaviour, python/lws.pyx:403-406)")
             pad = np.zeros((fftsize - len(awin)) // 2)
             awin = np.concatenate([pad, awin, pad])
             if swin is not None:
                 swin = np.concatenate([pad, np.asarray(swin, dtype=np.float64), pad])
 
+        if use_simplifications and not np.allclose(awin, awin[::-1]):
+            # the summarized-weight simplifications assume a symmetric
+            # analysis window, awin[t] == awin[T-1-t] (python/lws.pyx:452-454)
+            warnings.warn(
+                "lws_tpu: the analysis window is not symmetric, but "
+                "use_simplifications=True assumes awin[t] == awin[T-1-t]; "
+                "pass use_simplifications=False for exact weights")
         self.awin = awin
         self.swin = synthwin(awin, fshift, swin=swin)
         self.fshift = int(fshift)
@@ -127,8 +137,13 @@ class LWS:
         self.inner_passes = int(inner_passes)
         self.inner_scheme = inner_scheme  # resolved after Q is known
         self.backend = backend
-        self.pallas_block = int(pallas_block)
-        self.pallas_micro = int(pallas_micro)
+        # micro (blocked parallel frame updates) and lane_skip (lane-granular
+        # threshold skip) are measured research REJECTS on TPU (PERF.md):
+        # they stay available as kernel-level kwargs on
+        # ops.pallas_packed.tiled_lws_sweeps / packed_lws_sweeps for
+        # experiments, but are not constructor knobs — the production path
+        # always runs the exact reference frame order (micro=1, dense rows)
+        self.pallas_micro = 1
         self.pallas_pack = int(pallas_pack)
         # opt-in bf16 state storage for the batch/no-future tiled kernels:
         # halves HBM traffic / VMEM at slightly reduced fidelity (compute
@@ -154,13 +169,12 @@ class LWS:
         # wide sublane packs fit high-Q/large-F geometries (e.g. the
         # vocoder's Q=8, F=1025 at pack=16)
         self.pallas_tap_chunks = int(pallas_tap_chunks)
+        if self.pallas_window == "direct" and self.pallas_tap_chunks > 1:
+            raise ValueError(
+                "pallas_tap_chunks > 1 has no effect with "
+                "pallas_window='direct' (there is no carried window to "
+                "chunk); use one or the other")
         self.auto_segment = bool(auto_segment)
-        # Q=2 couples every frame to its direct neighbours; any within-group
-        # parallel update destabilises the iteration (measured), so fall back
-        # to exact frame-sequential order there.
-        Qi_early = int(np.ceil(len(awin) / float(fshift)))
-        if Qi_early == 2:
-            self.pallas_micro = 1
         if dtype is not None and jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
             dtype = jnp.float64 if jnp.dtype(dtype) == jnp.complex128 else jnp.float32
         self.rdtype = jnp.dtype(dtype) if dtype is not None else _default_real_dtype()
@@ -552,8 +566,16 @@ class LWS:
                     if pack is None:
                         raise ValueError(
                             "tiled kernel cannot run this sharded geometry")
+                    # pass the configured kernel knobs through so the sharded
+                    # path runs the same variant (and fits the same VMEM
+                    # plan) as the unsharded one — _sharded_pack gates with
+                    # exactly these options
                     kw = dict(pack=pack,
-                              interpret=jax.default_backend() != "tpu")
+                              interpret=jax.default_backend() != "tpu",
+                              storage=self.pallas_storage,
+                              frame_unroll=self.pallas_unroll,
+                              window_carry=self.pallas_window,
+                              tap_chunks=self.pallas_tap_chunks)
                 pair = sharded_lws_sweeps(
                     *pair, st=self._st_batch, thresholds=thr, mesh=mesh,
                     order=self.order, inner_passes=self.inner_passes,

@@ -1,4 +1,4 @@
-"""Pallas whole-in-VMEM kernel vs the XLA reference path (interpret mode on CPU)."""
+"""Pallas kernels vs the XLA reference path (interpret mode on CPU)."""
 import functools
 
 import numpy as np
@@ -8,7 +8,10 @@ import jax.numpy as jnp
 
 from lws_tpu import LWS, get_thresholds
 from lws_tpu.core.stencil import merge, split
-from lws_tpu.ops import pallas_lws_sweeps, pallas_supported
+# imported from the package surface deliberately: lws_tpu.ops must export
+# the production kernels the processor actually runs
+from lws_tpu.ops import (packed_lws_sweeps, packed_supported,
+                         tiled_lws_sweeps, tiled_supported)
 
 
 def _setup(golden, dtype=jnp.float32, max_t=None):
@@ -25,43 +28,44 @@ def _setup(golden, dtype=jnp.float32, max_t=None):
     return p, A, split(A, dtype=dtype)
 
 
-def test_micro1_matches_xla_gs(golden):
-    """micro=1 reproduces the frame-sequential Gauss-Seidel order: same
-    consistency trajectory as the XLA "gs" path on every config."""
+def test_tiled_micro1_matches_xla_gs(golden):
+    """The production tiled kernel reproduces the frame-sequential
+    Gauss-Seidel order: same consistency trajectory as the XLA "gs" path on
+    every golden config."""
     if int(golden.Q) > 9:
-        pytest.skip("pallas layout supports Q <= 9")
+        pytest.skip("interpret runtime; large-Q covered by test_large_q_tiled")
     p, A, pair = _setup(golden, max_t=80 if int(golden.Q) == 8 else None)
     # 12 sweeps keeps interpret-mode runtime inside CI budget; the
     # trajectory comparison is iteration-count agnostic
     thr = jnp.asarray(get_thresholds(12, 100, 0.1, 1), dtype=jnp.float32)
-    out_p = merge(*pallas_lws_sweeps(*pair, st=p._st_batch, thresholds=thr,
-                                     block=16, micro=1, interpret=True))
+    out_p = merge(*tiled_lws_sweeps(*pair, st=p._st_batch, thresholds=thr,
+                                    tile=16, micro=1, interpret=True))
     out_x = np.asarray(p.batch_lws(A, thresholds=np.asarray(thr)))
     c_p = float(np.asarray(p.get_consistency(out_p)))
     c_x = float(np.asarray(p.get_consistency(out_x)))
     assert abs(c_p - c_x) < 0.25, (c_p, c_x)
 
 
-def test_micro1_short_run_is_exact(golden_q4):
-    """Over a few sweeps the micro=1 order matches XLA-gs numerically."""
+def test_tiled_short_run_is_exact(golden_q4):
+    """Over a few sweeps the tiled micro=1 order matches XLA-gs numerically."""
     p, A, pair = _setup(golden_q4)
     thr = jnp.asarray(get_thresholds(2, 1, 0.1, 1), dtype=jnp.float32)
-    out_p = merge(*pallas_lws_sweeps(*pair, st=p._st_batch, thresholds=thr,
-                                     block=16, micro=1, interpret=True))
+    out_p = merge(*tiled_lws_sweeps(*pair, st=p._st_batch, thresholds=thr,
+                                    tile=16, micro=1, interpret=True))
     out_x = np.asarray(p.batch_lws(A, thresholds=np.asarray(thr)))
     np.testing.assert_allclose(out_p, out_x, atol=2e-3)
 
 
 def test_blocked_quality_and_magnitudes(golden):
     if int(golden.Q) > 9:
-        pytest.skip("pallas layout supports Q <= 9")
+        pytest.skip("interpret runtime; micro>1 is a research knob")
     p, A, pair = _setup(golden, max_t=80 if int(golden.Q) == 8 else None)
     # alpha=1 keeps the threshold schedule dense from sweep one, so 15
     # sweeps converge as far as 30 of the default alpha=100 schedule would
     # (whose early sweeps are threshold-gated no-ops) — interpret runtime
     thr = jnp.asarray(get_thresholds(15, 1, 0.1, 1), dtype=jnp.float32)
-    out = merge(*pallas_lws_sweeps(*pair, st=p._st_batch, thresholds=thr,
-                                   block=8, micro=2, interpret=True))
+    out = merge(*packed_lws_sweeps(*pair, st=p._st_batch, thresholds=thr,
+                                   micro=2, interpret=True))
     c = float(np.asarray(p.get_consistency(out)))
     c0 = float(np.asarray(p.get_consistency(A)))
     # blocked order trades some fidelity for speed; magnitudes always exact
@@ -73,37 +77,33 @@ def test_blocked_quality_and_magnitudes(golden):
     np.testing.assert_allclose(np.abs(out), np.abs(A), atol=1e-4)
 
 
-def test_nofuture_pallas_micro1_exact(golden_q4):
-    """No-future has strictly-past taps, so micro=1 == the reference raster
-    order exactly (the same argument as the XLA-gs exactness test)."""
-    p, A, pair = _setup(golden_q4)
-    thr = jnp.asarray(get_thresholds(1, 1, 0.1, 1), dtype=jnp.float32)
-    out = merge(*pallas_lws_sweeps(*pair, st=p._st_nofuture, thresholds=thr,
-                                   block=16, micro=1, interpret=True))
-    ref = golden_q4.nofuture_i1_anyq.astype(np.complex64)
-    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
-    c = float(np.asarray(p.get_consistency(out)))
-    assert c > float(golden_q4.consistency_nofuture_anyq) - 0.3
-
-
 def test_batched_grid(golden_q4):
     p, A, _ = _setup(golden_q4)
     Ab = np.stack([A, 0.5 * A, 2 * A])
     pair = split(Ab, dtype=jnp.float32)
     thr = jnp.asarray(get_thresholds(2, 1, 0.1, 1), dtype=jnp.float32)
-    out = merge(*pallas_lws_sweeps(*pair, st=p._st_batch, thresholds=thr,
-                                   block=8, interpret=True))
-    out0 = merge(*pallas_lws_sweeps(*split(A, dtype=jnp.float32), st=p._st_batch,
-                                    thresholds=thr, block=8, interpret=True))
+    out = merge(*tiled_lws_sweeps(*pair, st=p._st_batch, thresholds=thr,
+                                  tile=32, interpret=True))
+    out0 = merge(*tiled_lws_sweeps(*split(A, dtype=jnp.float32), st=p._st_batch,
+                                   thresholds=thr, tile=32, interpret=True))
     np.testing.assert_allclose(out[0], out0, atol=1e-6)
     # scale-invariance of the phase iteration (thresholds scale with mean amp)
     np.testing.assert_allclose(out[1], 0.5 * out0, atol=1e-5)
 
 
-def test_pallas_supported_budget():
-    assert pallas_supported(628, 257, 4, 5)
-    assert not pallas_supported(1100, 1025, 4, 5)  # ~35 MB > the 16 MiB VMEM
-    assert not pallas_supported(200_000, 2049, 4, 5)
+def test_supported_budget_gates():
+    # resident packed kernel: whole (T, F) state must fit VMEM
+    assert packed_supported(628, 257, 4, 5)
+    assert not packed_supported(1100, 1025, 4, 5, pack=8)
+    assert not packed_supported(200_000, 2049, 4, 5)
+    # direct mode widens the two state planes to the extended width; when
+    # F+2L crosses a 128-lane tile boundary the fit is strictly tighter
+    assert packed_supported(2000, 120, 4, 5, pack=4)
+    assert not packed_supported(2000, 120, 4, 5, pack=4, window_carry="direct")
+    # tiled kernel streams time tiles: T-independent, F/Q/pack-gated
+    assert tiled_supported(257, 4, 5, pack=16)
+    assert tiled_supported(2049, 4, 5, pack=8)
+    assert not tiled_supported(2049, 16, 5, pack=16)
 
 
 def test_backend_validation(golden_q4):
