@@ -78,76 +78,84 @@ def ip(a):
 
 
 # ---------------------------------------------------------------------------
-# Host-side prep: the published LWS math (float64, reference operation order
-# so that repeated regeneration is bit-stable). lws_tpu implements the same
-# math independently in windows.py / weights.py / stft.py; the golden tests
-# compare the two, so keep this block free of lws_tpu imports.
+# Host-side prep: the published LWS math (Le Roux et al., DAFx 2010; the
+# formulas python/lws.pyx:10-206 documents), float64, written in this tool's
+# own vectorized idiom. Per-element arithmetic ORDER matches the reference
+# evaluation so regeneration stays bit-stable against the committed goldens
+# (the C kernels are driven with these prep outputs, so any prep drift would
+# cascade). lws_tpu implements the same math independently in
+# windows.py / weights.py / stft.py; the golden tests compare the two, so
+# keep this block free of lws_tpu imports.
 # ---------------------------------------------------------------------------
 
 def hann(n, symmetric=True, use_offset=False):
+    """Hann window; the symmetric form samples the cosine at half-integer
+    points (odd numerators over 2n)."""
     if symmetric:
-        return 0.5 * (1 - np.cos(2 * np.pi * (np.arange(1, 2 * n, 2)) / (2 * n)))
-    offset = 1 if use_offset else 0
-    return 0.5 * (1 - np.cos(2 * np.pi * (np.arange(n) + offset) / n))
+        num = np.arange(1, 2 * n, 2)
+        return 0.5 * (1 - np.cos(2 * np.pi * num / (2 * n)))
+    num = np.arange(n) + (1 if use_offset else 0)
+    return 0.5 * (1 - np.cos(2 * np.pi * num / n))
 
 
 def synthwin(awin, fshift, swin=None):
+    """COLA normalizer: fold awin*swin over the Q shift offsets, divide."""
     fsize = len(awin)
-    Q = int(np.ceil(float(fsize) / float(fshift)))
+    Q = -(-fsize // fshift)
     if swin is None:
         swin = awin
-    twin = awin * swin
-    w = np.hstack([twin, np.zeros((Q * fshift - fsize,))])
-    w = np.sum(np.reshape(w, (Q, fshift)), axis=0)
-    w = np.tile(w, (1, Q))[0, :fsize]
-    if min(w) <= 0:
+    prod = np.concatenate([awin * swin, np.zeros(Q * fshift - fsize)])
+    fold = np.sum(prod.reshape(Q, fshift), axis=0)
+    denom = np.tile(fold, Q)[:fsize]
+    if denom.min() <= 0:
         raise ValueError("The normalizer is not strictly positive")
-    return swin / w
+    return swin / denom
 
 
 def stft(x, fsize, fshift, awin, fftsize=None, perfectrec=False):
+    """Framed FFT, non-negative bins only. perfectrec pre/post zero-padding
+    places the signal start on a frame boundary."""
     if fftsize is None:
         fftsize = fsize
+    x = np.asarray(x, dtype=np.float64)
     if perfectrec:
-        residual = fsize % fshift
-        pre = np.zeros((fsize - fshift,)) if residual == 0 else np.zeros((fsize - residual,))
-        post = np.zeros((0,)) if len(x) % fshift == 0 else np.zeros((fshift - len(x) % fshift,))
-        x = np.hstack((pre, x, post))
-        M = len(x) // fshift
+        rem = fsize % fshift
+        lead = fsize - (fshift if rem == 0 else rem)
+        tail = (-len(x)) % fshift
+        x = np.concatenate([np.zeros(lead), x, np.zeros(tail)])
+        n_frames = len(x) // fshift
     else:
-        if (len(x) - fsize) % fshift == 0:
-            post = np.zeros((0,))
-        else:
-            post = np.zeros((fshift - (len(x) - fsize) % fshift,))
-        x = np.hstack((x, post))
-        M = (len(x) - fsize) // fshift + 1
-    starts = fshift * np.arange(M)
-    x = np.hstack((x, np.zeros((max(0, (M - 1) * fshift + fsize - len(x)),))))
-    spec = np.zeros([M, fftsize // 2 + 1]).astype("complex128")
-    for m in range(M):
-        frame = x[starts[m]:starts[m] + fsize] * awin
-        spec[m] = np.fft.fft(frame, n=fftsize)[:fftsize // 2 + 1]
-    return spec
+        tail = (-(len(x) - fsize)) % fshift
+        x = np.concatenate([x, np.zeros(tail)])
+        n_frames = (len(x) - fsize) // fshift + 1
+    need = (n_frames - 1) * fshift + fsize
+    if need > len(x):
+        x = np.concatenate([x, np.zeros(need - len(x))])
+    offs = fshift * np.arange(n_frames)
+    frames = x[offs[:, None] + np.arange(fsize)] * awin
+    return np.fft.fft(frames, n=fftsize, axis=-1)[:, :fftsize // 2 + 1]
 
 
 def istft(spec, fshift, swin, fftsize=None, perfectrec=False):
-    M, N = np.shape(spec)
-    fsize = 2 * (N - 1)
+    """Inverse STFT by overlap-add; each frame's full Hermitian spectrum is
+    rebuilt from the non-negative bins."""
+    n_frames, nbins = spec.shape
+    fsize = 2 * (nbins - 1)
     if fftsize is None:
         fftsize = fsize
     if fftsize > len(swin):
-        swin = np.hstack([swin, np.zeros((fftsize - len(swin),))])
-    signal = np.zeros(fshift * (M - 1) + fsize)
-    idx = np.arange(fsize)
-    for s in range(M):
-        full = np.concatenate((spec[s], spec[s][-2:0:-1].conjugate()))
-        iframe = np.real(np.fft.ifft(full, n=fftsize))[:fsize]
-        signal[fshift * s + idx] += iframe * swin
+        swin = np.concatenate([swin, np.zeros(fftsize - len(swin))])
+    mirror = np.conj(spec[:, 1:-1][:, ::-1])
+    frames = np.real(np.fft.ifft(np.concatenate([spec, mirror], axis=1),
+                                 n=fftsize, axis=-1))[:, :fsize] * swin
+    out = np.zeros(fshift * (n_frames - 1) + fsize)
+    np.add.at(out, fshift * np.arange(n_frames)[:, None] + np.arange(fsize),
+              frames)
     if perfectrec:
-        residual = fsize % fshift
-        pre_len = fsize - fshift if residual == 0 else fsize - residual
-        signal = signal[pre_len:(fshift - fsize)]
-    return signal
+        rem = fsize % fshift
+        lead = fsize - (fshift if rem == 0 else rem)
+        out = out[lead:(fshift - fsize)]
+    return out
 
 
 def get_consistency(S, fsize, fshift, awin, swin, perfectrec=False):
@@ -157,47 +165,48 @@ def get_consistency(S, fsize, fshift, awin, swin, perfectrec=False):
 
 
 def extspec(S, L, Q):
-    T, Nreal = S.shape
-    ExtS = np.zeros((T + 2 * (Q - 1), Nreal + 2 * L), dtype=S.dtype)
-    ExtS[(Q - 1):(Q - 1 + T), L:(Nreal + L)] = S
-    ExtS[:, 0:L] = np.conjugate(ExtS[:, (2 * L):L:-1])
-    ExtS[:, (Nreal + L):] = np.conjugate(ExtS[:, (Nreal + L - 2):(Nreal - 2):-1])
-    ExtS[:(Q - 1)] = np.atleast_2d(ExtS[Q - 1])
-    ExtS[(Q - 1 + T):] = np.atleast_2d(ExtS[Q - 2 + T])
-    return ExtS
+    """Halo'd spectrogram: conjugate-reflected +-L frequency margins
+    (Hermitian symmetry below DC / above Nyquist), Q-1 replicated edge
+    frames (including their frequency margins)."""
+    body = np.concatenate(
+        [np.conj(S[:, L:0:-1]), S, np.conj(S[:, -2:-2 - L:-1])], axis=1)
+    top = np.repeat(body[:1], Q - 1, axis=0)
+    bot = np.repeat(body[-1:], Q - 1, axis=0)
+    return np.concatenate([top, body, bot], axis=0)
 
 
 def create_weights(awin, swin, fshift, L, use_summarized_weights=True):
+    """The LWS weight tensor, (Qprime, Q, L+1) complex128: an (L+1)-row DFT
+    of the per-shift window products, a -k/Qfloat phase tilt, the identity
+    tap removed, and a per-row phase ramp over the Qprime bin classes."""
     T = len(awin)
-    Q = int(np.ceil(float(T) / float(fshift)))
-    Qfloat = float(T) / float(fshift)
-    Qprime = Q if (T % fshift == 0 and use_summarized_weights) else T
-    interval = np.arange(L + 1)
-    expinterv = np.exp(-1j * 2 * np.pi * np.atleast_2d(interval).T * np.arange(T) / T)
-    windowprod = np.zeros((T, Q))
-    for q in range(Q):
-        index = np.arange(T - q * fshift)
-        windowprod[index, q] = awin[index] * swin[index + q * fshift] / T
-    W = (expinterv.dot(windowprod)) * np.exp(
-        -1j * 2 * np.pi * np.atleast_2d(interval).T * np.arange(Q) / Qfloat)
-    W[0, 0] = W[0, 0] - 1
-    ramp = np.exp(1j * 2 * np.pi * np.atleast_2d(np.arange(Qprime)).T * np.arange(Q) / Qfloat)
-    W = W[:, np.newaxis] * ramp[np.newaxis, :]
-    return W.transpose((1, 2, 0))
+    Q = -(-T // fshift)
+    Qf = float(T) / float(fshift)
+    n_rows = Q if (T % fshift == 0 and use_summarized_weights) else T
+    ks = np.arange(L + 1)[:, None]
+    # prod[t, q] = awin[t] * swin[t + q*fshift] / T, zero where the shifted
+    # synthesis window runs off the end (gathered from a zero-padded copy)
+    sw_ext = np.concatenate([swin, np.zeros(Q * fshift)])
+    gather = np.arange(T)[:, None] + fshift * np.arange(Q)[None, :]
+    prod = awin[:, None] * sw_ext[gather] / T
+    dft = np.exp(-1j * 2 * np.pi * ks * np.arange(T) / T)
+    core = dft.dot(prod) * np.exp(-1j * 2 * np.pi * ks * np.arange(Q) / Qf)
+    core[0, 0] = core[0, 0] - 1
+    phase = np.exp(1j * 2 * np.pi * np.arange(n_rows)[:, None] * np.arange(Q) / Qf)
+    return (core[:, np.newaxis] * phase[np.newaxis, :]).transpose((1, 2, 0))
 
 
 def build_asymmetric_windows(awin_swin, fshift):
+    """RTISI-LA mirrored envelopes: partial (shifts 1..Q-1) and full shift
+    sums of the combined window product, time-flipped."""
     T = len(awin_swin)
-    Q = int(np.ceil(float(T) / float(fshift)))
-    tmp = np.zeros((T, Q))
-    tmp[:, 0] = awin_swin
-    for q in range(Q):
-        index = np.arange(T - q * fshift)
-        tmp[index, q] = awin_swin[q * fshift + index]
-    win_ai = np.sum(tmp[:, 1:], axis=1)[::-1]
-    win_af = np.sum(tmp, axis=1)[::-1]
+    Q = -(-T // fshift)
+    w_ext = np.concatenate([awin_swin, np.zeros(Q * fshift)])
+    shifted = w_ext[np.arange(T)[:, None] + fshift * np.arange(Q)[None, :]]
+    win_ai = np.sum(shifted[:, 1:], axis=1)[::-1]
+    win_af = np.sum(shifted, axis=1)[::-1]
     if T % fshift == 2:
-        win_ai = awin_swin
+        win_ai = awin_swin  # the reference's Q=2 fallback (python/lws.pyx:198)
     return win_ai, win_af
 
 
