@@ -229,8 +229,26 @@ def bench_streaming(on_tpu):
     s.flush()
     com = np.stack(s.committed_frames, axis=1)  # (S, T, F)
     c1 = float(np.asarray(proc.get_consistency(com)).mean())
+
+    # tail latency at the two serving operating points (StreamStats p50/95/99
+    # per push, host-synchronous commits so a push's wall is its real
+    # latency): block_frames=32 (the 256 ms throughput quantum above) and
+    # block_frames=1 (one 8 ms hop per dispatch - the low-latency point)
+    lat = {}
+    for bf in (32, 1):
+        sl = StreamingLWS(proc, iterations=iters, streams=streams,
+                          emit="host", block_frames=bf)
+        n = bf * 128 * 8  # warm-up: 8 blocks
+        sl.push_block(x[:, :n])
+        sl.stats.reset()
+        end = n + bf * 128 * (16 if bf == 32 else 256)
+        for i in range(n, min(end, x.shape[-1]), bf * 128):
+            sl.push_block(x[:, i:i + bf * 128])
+        smry = sl.stats.summary()
+        lat[bf] = {k: smry.get(k) for k in ("p50_s", "p95_s", "p99_s")}
     return dict(name="streaming", audio_s=streams * secs, wall=wall,
-                iters=iters, shape=(streams, int(secs * 16000)), cons=(None, c1))
+                iters=iters, shape=(streams, int(secs * 16000)),
+                cons=(None, c1), latency=lat)
 
 
 BENCHES = {
@@ -264,6 +282,19 @@ def write_table(rows, backend):
             f.write(f"| {r['name']} | {r['shape']} | {r['iters']} | "
                     f"{r['wall']:.3f} | {r['audio_s'] / r['wall']:.0f} | "
                     f"{cons} |\n")
+        for r in rows:
+            if not r.get("latency"):
+                continue
+            f.write("\nStreaming push latency (per-push wall, "
+                    "host-synchronous commits, 8 parallel streams; audio "
+                    "quantum = block_frames x 8 ms hop):\n\n")
+            f.write("| block_frames | audio/push (ms) | p50 (ms) | p95 (ms) "
+                    "| p99 (ms) |\n|---|---|---|---|---|\n")
+            for bf, d in sorted(r["latency"].items(), key=lambda kv: -int(kv[0])):
+                if d.get("p50_s") is None:
+                    continue
+                f.write(f"| {bf} | {int(bf) * 8} | {d['p50_s'] * 1e3:.1f} | "
+                        f"{d['p95_s'] * 1e3:.1f} | {d['p99_s'] * 1e3:.1f} |\n")
 
 
 def _backend_reachable(budget=300, tries=3):
@@ -376,14 +407,21 @@ def main():
     # metric by name and carries no vs_baseline so harnesses parsing the
     # one-JSON-line contract never record the wrong headline number
     is_headline = head["name"] == "batch"
-    print(json.dumps({
+    payload = {
         "metric": ("audio_seconds_per_second_per_chip" if is_headline
                    else f"{head['name']}_audio_seconds_per_second_per_chip"),
         "value": round(value, 1),
         "unit": "audio-s/s/chip",
         "vs_baseline": round(value / 100.0, 3) if is_headline else None,
         "configs": {r["name"]: round(r["audio_s"] / r["wall"], 1) for r in rows},
-    }))
+    }
+    for r in rows:
+        if r.get("latency"):
+            payload["streaming_latency_ms"] = {
+                str(bf): {k[:3]: round(v * 1e3, 2)
+                          for k, v in d.items() if v is not None}
+                for bf, d in r["latency"].items()}
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

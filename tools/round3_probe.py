@@ -128,8 +128,13 @@ VARIANTS = {
     "passes2": dict(inner_passes=2),
     "direct": dict(pallas_window="direct"),
     "direct-p8": dict(pallas_window="direct", pallas_pack=8),
+    "direct-p32": dict(pallas_window="direct", pallas_pack=32),
     "direct-passes2": dict(pallas_window="direct", inner_passes=2),
     "direct-unroll": dict(pallas_window="direct", pallas_unroll=-1),
+    "direct-unroll-p8": dict(pallas_window="direct", pallas_unroll=-1,
+                             pallas_pack=8),
+    "bf16-p16": dict(pallas_storage="bfloat16"),
+    "direct-bf16": dict(pallas_window="direct", pallas_storage="bfloat16"),
 }
 
 if __name__ == "__main__":
