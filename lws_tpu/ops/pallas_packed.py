@@ -109,8 +109,10 @@ def _tiled_tile(F: int, Q: int, L: int, P: int, micro: int = 1,
         # Q=8/L=5/F=1025/P=16 (forced-OOM scoped reports: demand 16.02M at
         # TT=24, 18.13M at TT=32 -> fixed stack ~= 7.6M = 0.57x the full
         # ntaps*P*epad spill; ~half the carried-stack mode's 1.04x, not the
-        # O(one row) the round-3 model assumed). Budget at 0.65x measured.
-        stack_bytes = int(0.65 * ntaps * P * epad * 4)
+        # O(one row) the round-3 model assumed). Budgeted at 0.74x: lands at
+        # or below the verified-compiling tile 16 at Q=8/F=1025/P=16 (tile 22
+        # measured 16.02M — over) and ~tile 75 at P=8 (80 verified).
+        stack_bytes = int(0.74 * ntaps * P * epad * 4)
     budget = 15 * 2 ** 20 + 2 ** 18 - halo_bytes - stack_bytes
     rows = budget // row
     if rows < 8:

@@ -81,13 +81,13 @@ class LWS:
         use_simplifications=True,
         dtype=None,
         order="gs",
-        inner_passes=1,
+        inner_passes=None,
         inner_scheme=None,
         backend="auto",
         pallas_pack=16,
         pallas_storage=None,
         pallas_unroll=1,
-        pallas_window="stack",
+        pallas_window=None,
         pallas_tap_chunks=1,
         auto_segment=True,
     ):
@@ -134,7 +134,7 @@ class LWS:
         self.look_ahead = int(look_ahead)
         self.use_simplifications = use_simplifications
         self.order = order
-        self.inner_passes = int(inner_passes)
+        self._inner_passes_arg = inner_passes  # resolved after Q is known
         self.inner_scheme = inner_scheme  # resolved after Q is known
         self.backend = backend
         # micro (blocked parallel frame updates) and lane_skip (lane-granular
@@ -157,11 +157,16 @@ class LWS:
         # changing the default (tools/unroll_experiment.py, PERF.md).
         self.pallas_unroll = int(pallas_unroll)
         # loop-carried window representation in the sweep kernels: "stack"
-        # (concat shift) or "rows" (tuple carry, SSA-renamed shift) — bit-
-        # identical outputs, different Mosaic compilation (PERF.md)
-        if pallas_window not in ("stack", "rows", "direct"):
+        # (concat shift), "rows" (tuple carry, SSA-renamed shift) or
+        # "direct" (no carried window; frequency-pre-extended scratch rows)
+        # — bit-identical outputs, different Mosaic compilation/VMEM
+        # trade-offs (PERF.md). None (default) = auto: the launch planner
+        # prefers the carried modes and switches to direct per call when
+        # that wins back a sublane pack the carried spill cannot fit
+        # (e.g. the vocoder's Q=8/F=1025 at pack=16, +44% measured).
+        if pallas_window not in (None, "stack", "rows", "direct"):
             raise ValueError(
-                "pallas_window must be 'stack', 'rows' or 'direct'")
+                "pallas_window must be None (auto), 'stack', 'rows' or 'direct'")
         self.pallas_window = pallas_window
         # tap-accumulation chunking (ops/pallas_packed._chunk_bounds):
         # computing the stencil update in n frequency chunks divides the
@@ -186,9 +191,24 @@ class LWS:
             # Low-overlap stencils (Q <= 3) are the order-sensitive cases
             # where in-frame Jacobi loses ~1 dB vs the reference's in-frame
             # raster Gauss-Seidel; red-black x3 rounds restores (and for Q=2
-            # beats) the reference's information flow. For Q >= 4 plain
-            # Jacobi already matches the reference (QUALITY.md).
+            # beats) the reference's information flow (QUALITY.md).
             self.inner_scheme = "color2x3" if Qint <= 3 else "jacobi"
+        # in-frame passes: explicit value applies to every stage (legacy
+        # behaviour); the default resolves per stage. Bench-scale anchoring
+        # vs the float64 oracle (QUALITY.md) showed plain in-frame Jacobi
+        # losing up to 1.6 dB to the reference's in-frame raster order at
+        # Q=4 on long (T~600+) spectrograms — three same-frame re-passes
+        # close the gap and beat the reference by ~2 dB mean at ~10-15%
+        # cost, so they are the batch-stage default for jacobi-scheme
+        # configs. Q=8 measures no gap (cross-frame taps dominate), and the
+        # color schemes already carry their own in-frame flow.
+        self.inner_passes = (1 if self._inner_passes_arg is None
+                             else int(self._inner_passes_arg))
+        if self._inner_passes_arg is None and self.inner_scheme == "jacobi" \
+                and 4 <= Qint <= 7:
+            self.batch_inner_passes = 3
+        else:
+            self.batch_inner_passes = self.inner_passes
 
         if mode == "speech":
             nofuture_iterations = 0
@@ -227,7 +247,8 @@ class LWS:
 
         self._batch_xla = jax.jit(functools.partial(
             lws_sweeps, st=self._st_batch, order=self.order,
-            inner_passes=self.inner_passes, inner_scheme=self.inner_scheme))
+            inner_passes=self.batch_inner_passes,
+            inner_scheme=self.inner_scheme))
         self._nofuture_xla = jax.jit(
             functools.partial(lws_sweeps, st=self._st_nofuture, order=self.order))
         self._online_xla = jax.jit(functools.partial(
@@ -247,32 +268,30 @@ class LWS:
         # (e.g. F=1025 at Q=8) instead of losing the Pallas path entirely
         self._batch_tiled = jax.jit(functools.partial(
             tiled_lws_sweeps, st=self._st_batch, micro=self.pallas_micro,
-            inner_passes=self.inner_passes,
+            inner_passes=self.batch_inner_passes,
             inner_scheme=self.inner_scheme, storage=self.pallas_storage,
             frame_unroll=self.pallas_unroll,
-            window_carry=self.pallas_window,
             tap_chunks=self.pallas_tap_chunks),
-            static_argnames=("pack",))
+            static_argnames=("pack", "window_carry"))
         self._nofuture_tiled = jax.jit(functools.partial(
             tiled_lws_sweeps, st=self._st_nofuture, micro=self.pallas_micro,
             storage=self.pallas_storage, frame_unroll=self.pallas_unroll,
-            window_carry=self.pallas_window,
             tap_chunks=self.pallas_tap_chunks),
-            static_argnames=("pack",))
+            static_argnames=("pack", "window_carry"))
         self._batch_seg = jax.jit(functools.partial(
             segmented_lws_sweeps, st=self._st_batch, micro=self.pallas_micro,
-            inner_passes=self.inner_passes,
+            inner_passes=self.batch_inner_passes,
             inner_scheme=self.inner_scheme, storage=self.pallas_storage,
             frame_unroll=self.pallas_unroll,
-            window_carry=self.pallas_window,
             tap_chunks=self.pallas_tap_chunks),
-            static_argnames=("segments", "sweeps_per_exchange", "pack"))
+            static_argnames=("segments", "sweeps_per_exchange", "pack",
+                             "window_carry"))
         self._nofuture_seg = jax.jit(functools.partial(
             segmented_lws_sweeps, st=self._st_nofuture, micro=self.pallas_micro,
             storage=self.pallas_storage, frame_unroll=self.pallas_unroll,
-            window_carry=self.pallas_window,
             tap_chunks=self.pallas_tap_chunks),
-            static_argnames=("segments", "sweeps_per_exchange", "pack"))
+            static_argnames=("segments", "sweeps_per_exchange", "pack",
+                             "window_carry"))
 
     def _pallas_base_ok(self):
         """Stage-independent Pallas preconditions: TPU backend, float32
@@ -284,18 +303,33 @@ class LWS:
                 and self.order == "gs"
                 and self._Qi <= MAX_Q)
 
+    def _window_modes(self):
+        """Window-carry candidates in preference order. An explicit
+        pallas_window pins the mode; the None default tries the carried
+        representation first (lowest steady-state overhead at small Q) and
+        then "direct", whose halved scoped-VMEM spill can keep a wide
+        sublane pack where the carried window cannot (vocoder-class
+        geometries, PERF.md). tap_chunks > 1 belongs to the carried modes
+        only, so auto never pairs it with direct."""
+        if self.pallas_window is not None:
+            return (self.pallas_window,)
+        if self.pallas_tap_chunks > 1:
+            return ("stack",)
+        return ("stack", "direct")
+
     def _plan_tiled(self, pair):
-        """(pack, segments) launch plan for the tiled batch/no-future kernel,
-        or None when no pack fits this geometry.
+        """(pack, segments, window_carry) launch plan for the tiled
+        batch/no-future kernel, or None when nothing fits this geometry.
 
         The VMEM fit is evaluated at the POST-segmentation effective batch
         (auto-segmentation multiplies the virtual utterance count, which can
         raise the kernel's internal sublane pack past what the unsegmented
         batch would use), so the gate and the launched kernel always agree.
-        Tries the configured pack first, then the 8-row physical minimum;
-        within a pack, segmentation is halved until the fit holds — wide
-        packs and segments are purely throughput knobs (PERF.md), so
-        downshifting preserves semantics."""
+        Tries the configured pack first — within it every window-carry
+        candidate — then the 8-row physical minimum; within a pack,
+        segmentation is halved until the fit holds. Packs, segments and the
+        carry representation are purely throughput knobs (bit-identical
+        semantics, PERF.md), so downshifting preserves results."""
         from .ops.pallas_packed import tiled_supported
         F = pair[0].shape[-1]
         T = pair[0].shape[-2]
@@ -303,15 +337,16 @@ class LWS:
         isz = (self.pallas_storage or jnp.dtype(self.rdtype)).itemsize
         packs = (self.pallas_pack,) if self.pallas_pack <= 8 else (self.pallas_pack, 8)
         for p in packs:
-            S = self._auto_segments(B, T, p)
-            while S >= 1:
-                if tiled_supported(F, self._Qi, self.L, pack=p,
-                                   micro=self.pallas_micro, B=B * S,
-                                   itemsize=isz,
-                                   tap_chunks=self.pallas_tap_chunks,
-                                   window_carry=self.pallas_window):
-                    return p, S
-                S //= 2
+            for w in self._window_modes():
+                S = self._auto_segments(B, T, p)
+                while S >= 1:
+                    if tiled_supported(F, self._Qi, self.L, pack=p,
+                                       micro=self.pallas_micro, B=B * S,
+                                       itemsize=isz,
+                                       tap_chunks=self.pallas_tap_chunks,
+                                       window_carry=w):
+                        return p, S, w
+                    S //= 2
         return None
 
     def _eff_pack(self, pair):
@@ -385,17 +420,19 @@ class LWS:
         if self.backend == "pallas" and plan is None:
             raise ValueError("pallas backend requested but unsupported for this config")
         if plan is not None:
-            pk, S = plan
+            pk, S, w = plan
             if S > 1:
                 # 4 sweeps per halo exchange: quality-equivalent, ~20%
                 # faster than per-sweep exchange (PERF.md)
                 fn = functools.partial(seg, segments=S,
-                                       sweeps_per_exchange=4, pack=pk)
+                                       sweeps_per_exchange=4, pack=pk,
+                                       window_carry=w)
                 return self._run_flat(fn, sr, si, thresholds)
             # the time-tiled kernel streams state through VMEM, so the wide
             # pack fits regardless of T (a single tile when T is small)
-            return self._run_flat(functools.partial(tiled, pack=pk),
-                                  sr, si, thresholds)
+            return self._run_flat(
+                functools.partial(tiled, pack=pk, window_carry=w),
+                sr, si, thresholds)
         return self._xla_fallback(xla, sr, si, thresholds, st=st)
 
     def _batch_fn(self, sr, si, thresholds):
@@ -518,19 +555,21 @@ class LWS:
         return self._ret(pair, was_pair)
 
     def _sharded_pack(self, pair, n_time):
-        """Workable tiled-kernel pack for the per-shard geometry of a
-        time-sharded call, or None when the tiled kernel cannot run it."""
+        """Workable (pack, window_carry) for the per-shard geometry of a
+        time-sharded call, or None when the tiled kernel cannot run it
+        (same candidate order as `_plan_tiled`, without segmentation)."""
         from .ops.pallas_packed import tiled_supported
         F = pair[0].shape[-1]
         B = int(np.prod(pair[0].shape[:-2])) if pair[0].ndim > 2 else 1
         isz = (self.pallas_storage or jnp.dtype(self.rdtype)).itemsize
         packs = (self.pallas_pack,) if self.pallas_pack <= 8 else (self.pallas_pack, 8)
         for p in packs:
-            if tiled_supported(F, self._Qi, self.L, pack=p,
-                               micro=self.pallas_micro, B=B, itemsize=isz,
-                               tap_chunks=self.pallas_tap_chunks,
-                               window_carry=self.pallas_window):
-                return p
+            for w in self._window_modes():
+                if tiled_supported(F, self._Qi, self.L, pack=p,
+                                   micro=self.pallas_micro, B=B, itemsize=isz,
+                                   tap_chunks=self.pallas_tap_chunks,
+                                   window_carry=w):
+                    return p, w
         return None
 
     def batch_lws(self, S, iterations=None, thresholds=None, mesh=None,
@@ -556,29 +595,30 @@ class LWS:
                 from .parallel import shard_pair, sharded_lws_sweeps
                 pair = shard_pair(pair, mesh, time_sharded=True)
                 n_time = mesh.shape["time"]
-                pack = self._sharded_pack(pair, n_time)
+                shard_plan = self._sharded_pack(pair, n_time)
                 if kernel is None:
                     tiled_ok = (self._pallas_base_ok()
-                                and self.pallas_micro == 1 and pack is not None)
+                                and self.pallas_micro == 1
+                                and shard_plan is not None)
                     kernel = "tiled" if tiled_ok else "xla"
                 kw = {}
                 if kernel == "tiled":
-                    if pack is None:
+                    if shard_plan is None:
                         raise ValueError(
                             "tiled kernel cannot run this sharded geometry")
-                    # pass the configured kernel knobs through so the sharded
-                    # path runs the same variant (and fits the same VMEM
-                    # plan) as the unsharded one — _sharded_pack gates with
-                    # exactly these options
-                    kw = dict(pack=pack,
+                    # pass the planned kernel variant through so the sharded
+                    # path runs exactly what _sharded_pack's VMEM gate
+                    # approved (pack, window carry and the configured knobs)
+                    kw = dict(pack=shard_plan[0],
                               interpret=jax.default_backend() != "tpu",
                               storage=self.pallas_storage,
                               frame_unroll=self.pallas_unroll,
-                              window_carry=self.pallas_window,
+                              window_carry=shard_plan[1],
                               tap_chunks=self.pallas_tap_chunks)
                 pair = sharded_lws_sweeps(
                     *pair, st=self._st_batch, thresholds=thr, mesh=mesh,
-                    order=self.order, inner_passes=self.inner_passes,
+                    order=self.order,
+                    inner_passes=self.batch_inner_passes,
                     inner_scheme=self.inner_scheme, kernel=kernel,
                     sweeps_per_exchange=int(sweeps_per_exchange), **kw)
             else:

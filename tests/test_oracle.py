@@ -86,6 +86,54 @@ def test_jax_online_deterministic_exact(golden):
                                rtol=1e-9, atol=1e-10)
 
 
+def _bench_mixture(n, sr_hz, seed):
+    """The bench.py make_batch mixture (tone+chirp+noise), replicated here
+    so the oracle anchoring runs on the same signal class the benchmarks
+    measure (BASELINE.json configs)."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / sr_hz
+    return (0.5 * np.sin(2 * np.pi * 240 * t)
+            + 0.3 * np.sin(2 * np.pi * 1128 * t)
+            + 0.2 * np.sin(2 * np.pi * (300 + 3000 * t / t[-1]) * t)
+            + 0.05 * rng.standard_normal(n))
+
+
+def test_bench_scale_batch_anchored_to_oracle():
+    """Quality anchoring at the BENCH geometry, not just the toy goldens:
+    one 5 s / 16 kHz utterance (T=628, F=257), the full 100-iteration batch
+    schedule, float64. The default batch path must land at or above the
+    float64 oracle's consistency (in-frame re-passes close the in-frame
+    raster gap, QUALITY.md 'bench-scale anchoring')."""
+    p = LWS(512, 128, dtype=jnp.float64)
+    A = np.abs(p.stft(_bench_mixture(80000, 16000, 0))).astype(np.complex128)
+    assert A.shape[0] > 600  # really the bench geometry
+    thr = get_thresholds(100, 100, 0.1, 1)
+    out_j = np.asarray(p.batch_lws(A, thresholds=thr))
+    out_c = oracle.oracle_sweeps(A, p.W, thr)
+    c_j = float(np.asarray(p.get_consistency(out_j)))
+    c_c = float(np.asarray(p.get_consistency(out_c)))
+    assert c_j > c_c - 0.25, (c_j, c_c)
+    np.testing.assert_allclose(np.abs(out_j), np.abs(A), atol=1e-8)
+
+
+def test_longform_slice_anchored_to_oracle():
+    """Long-form geometry slice (F=2049, Q=4, 4096/1024 at 48 kHz): the
+    default batch path vs the float64 oracle on a ~10 s slice. Anchors the
+    longform bench config's consistency scale (QUALITY.md); the full-length
+    T=2019 anchor at 100 iterations is recorded there from the same
+    harness."""
+    p = LWS(4096, 1024, dtype=jnp.float64)
+    x = _bench_mixture(int(11.0 * 48000), 48000, 4)
+    A = np.abs(p.stft(x)).astype(np.complex128)
+    assert A.shape[-1] == 2049
+    thr = get_thresholds(30, 100, 0.1, 1)
+    out_j = np.asarray(p.batch_lws(A, thresholds=thr))
+    out_c = oracle.oracle_sweeps(A, p.W, thr)
+    c_j = float(np.asarray(p.get_consistency(out_j)))
+    c_c = float(np.asarray(p.get_consistency(out_c)))
+    assert c_j > c_c - 0.25, (c_j, c_c)
+
+
 def test_jax_nofuture_matches_oracle_fresh_config():
     """A config with no golden: oracle and JAX agree exactly on no-future
     (strictly-past taps -> identical update order)."""

@@ -39,7 +39,9 @@ def test_tiled_micro1_matches_xla_gs(golden):
     # trajectory comparison is iteration-count agnostic
     thr = jnp.asarray(get_thresholds(12, 100, 0.1, 1), dtype=jnp.float32)
     out_p = merge(*tiled_lws_sweeps(*pair, st=p._st_batch, thresholds=thr,
-                                    tile=16, micro=1, interpret=True))
+                                    tile=16, micro=1, interpret=True,
+                                    inner_scheme=p.inner_scheme,
+                                    inner_passes=p.batch_inner_passes))
     out_x = np.asarray(p.batch_lws(A, thresholds=np.asarray(thr)))
     c_p = float(np.asarray(p.get_consistency(out_p)))
     c_x = float(np.asarray(p.get_consistency(out_x)))
@@ -51,7 +53,9 @@ def test_tiled_short_run_is_exact(golden_q4):
     p, A, pair = _setup(golden_q4)
     thr = jnp.asarray(get_thresholds(2, 1, 0.1, 1), dtype=jnp.float32)
     out_p = merge(*tiled_lws_sweeps(*pair, st=p._st_batch, thresholds=thr,
-                                    tile=16, micro=1, interpret=True))
+                                    tile=16, micro=1, interpret=True,
+                                    inner_scheme=p.inner_scheme,
+                                    inner_passes=p.batch_inner_passes))
     out_x = np.asarray(p.batch_lws(A, thresholds=np.asarray(thr)))
     np.testing.assert_allclose(out_p, out_x, atol=2e-3)
 
@@ -187,17 +191,22 @@ def test_color_scheme_kernels_match_xla(golden):
 
 
 def test_packed_micro1_matches_xla_gs(golden_q4):
-    """Sublane-packed kernel, micro=1 == the XLA frame-GS order."""
+    """Sublane-packed kernel, micro=1 == the XLA frame-GS order (float64:
+    the default batch path now runs 3 in-frame re-passes at Q=4, whose
+    roundoff-level order differences the iteration amplifies in f32 —
+    the f64 comparison pins the order equivalence itself)."""
     from lws_tpu.ops.pallas_packed import packed_lws_sweeps
-    p, A, _ = _setup(golden_q4)
+    p, A, _ = _setup(golden_q4, dtype=jnp.float64)
     Ab = np.stack([A * (0.5 + 0.5 * i) for i in range(3)])  # B=3, pads to 4
-    pair = split(Ab, dtype=jnp.float32)
-    thr = jnp.asarray(get_thresholds(5, 1, 0.1, 1), dtype=jnp.float32)
+    pair = split(Ab, dtype=jnp.float64)
+    thr = jnp.asarray(get_thresholds(5, 1, 0.1, 1), dtype=jnp.float64)
     out_p = merge(*packed_lws_sweeps(*pair, st=p._st_batch, thresholds=thr,
-                                     micro=1, interpret=True))
+                                     micro=1, interpret=True,
+                                     inner_scheme=p.inner_scheme,
+                                     inner_passes=p.batch_inner_passes))
     out_x = np.asarray(p.batch_lws(Ab, thresholds=np.asarray(thr)))
-    np.testing.assert_allclose(out_p, out_x, atol=2e-3)
-    close = np.isclose(out_p, out_x, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(out_p, out_x, atol=1e-6)
+    close = np.isclose(out_p, out_x, rtol=1e-8, atol=1e-8)
     assert close.mean() > 0.99
 
 
@@ -394,7 +403,13 @@ def test_pack_downshift_and_bf16_unlock():
 
     proc = LWS(2048, 256, L=5, pallas_pack=16, dtype=jnp.float32)
     pair = (jnp.zeros((32, 64, 1025)), jnp.zeros((32, 64, 1025)))
-    assert proc._eff_pack(pair) == 8
+    # auto window mode: the carried window cannot fit pack=16 here, but the
+    # direct representation can — the planner keeps the wide pack via direct
+    assert proc._plan_tiled(pair) == (16, 1, "direct")
+    # pinned to the carried representation, the pack must downshift
+    proc_stack = LWS(2048, 256, L=5, pallas_pack=16, dtype=jnp.float32,
+                     pallas_window="stack")
+    assert proc_stack._plan_tiled(pair) == (8, 1, "stack")
     proc_bf16 = LWS(2048, 256, L=5, pallas_pack=16, dtype=jnp.float32,
                     pallas_storage="bfloat16")
     assert proc_bf16._eff_pack(pair) == 16
@@ -402,7 +417,7 @@ def test_pack_downshift_and_bf16_unlock():
     # the gate approves the configured pack=16 against the clamped P=8
     assert tiled_supported(1025, 8, 5, pack=16, B=2)
     small = (jnp.zeros((2, 64, 1025)), jnp.zeros((2, 64, 1025)))
-    assert proc._eff_pack(small) == 16
+    assert proc._plan_tiled(small) == (16, 1, "stack")
 
 
 def test_plan_tiled_accounts_for_segmentation():
@@ -418,14 +433,15 @@ def test_plan_tiled_accounts_for_segmentation():
     sds = jax.ShapeDtypeStruct((2, 16384, 1025), jnp.float32)
     plan = proc._plan_tiled((sds, sds))
     assert plan is not None
-    pk, S = plan
+    pk, S, w = plan
     assert S > 1  # the long underfilled workload still gets segmentation
-    # the plan's (pack, segments) must be launchable: the fit holds at the
-    # effective batch the segmented kernel will actually run
-    assert tiled_supported(1025, proc._Qi, proc.L, pack=pk, B=2 * S)
+    # the plan must be launchable: the fit holds at the effective batch and
+    # window mode the segmented kernel will actually run
+    assert tiled_supported(1025, proc._Qi, proc.L, pack=pk, B=2 * S,
+                           window_carry=w)
     # a short workload keeps the unsegmented exact order
     small = jax.ShapeDtypeStruct((2, 64, 1025), jnp.float32)
-    assert proc._plan_tiled((small, small)) == (16, 1)
+    assert proc._plan_tiled((small, small)) == (16, 1, "stack")
 
 
 def test_online_gate_independent_of_tiled_plan(monkeypatch):
@@ -437,7 +453,10 @@ def test_online_gate_independent_of_tiled_plan(monkeypatch):
     XLA scan on TPU there, and backend='pallas' raised for a config the
     online kernel handles)."""
     import jax
-    proc = LWS(4096, 512, L=5, dtype=jnp.float32, look_ahead=1)
+    # pallas_window="stack" pins the carried mode, which cannot fit this
+    # F*Q at any pack (auto mode would fall through to "direct")
+    proc = LWS(4096, 512, L=5, dtype=jnp.float32, look_ahead=1,
+               pallas_window="stack")
     sds = jax.ShapeDtypeStruct((1, 64, 2049), jnp.float32)
     assert proc._plan_tiled((sds, sds)) is None  # tiled cannot fit this F*Q
     assert proc._online_ok((sds, sds))           # the online kernel can
@@ -504,7 +523,12 @@ def test_pallas_unroll_processor_plumbing(monkeypatch):
                proc._batch_seg, proc._nofuture_seg):
         # jax.jit wraps functools.partial; the hint must be bound there
         assert fn.__wrapped__.keywords["frame_unroll"] == 4
-        assert fn.__wrapped__.keywords["window_carry"] == "rows"
+        # window_carry is a call-time static arg since the auto planner:
+        # an explicit pallas_window pins the candidate list to that mode
+        assert "window_carry" not in fn.__wrapped__.keywords
+    assert proc._window_modes() == ("rows",)
+    auto = LWS(512, 128, dtype=jnp.float32)
+    assert auto._window_modes() == ("stack", "direct")
     with pytest.raises(ValueError, match="pallas_window"):
         LWS(512, 128, pallas_window="circular")
 
@@ -548,7 +572,9 @@ def test_threshold_iteration_skip_is_bit_neutral(golden_q4):
 
     thr = jnp.asarray(get_thresholds(10, 100, 0.5, 1), dtype=jnp.float32)
     got = merge(*tiled_lws_sweeps(*pair, st=p._st_batch, thresholds=thr,
-                                  pack=2, interpret=True))
+                                  pack=2, interpret=True,
+                                  inner_scheme=p.inner_scheme,
+                                  inner_passes=p.batch_inner_passes))
     ref = np.asarray(p.batch_lws(A, thresholds=np.asarray(thr)))
     np.testing.assert_allclose(got, ref, atol=2e-3)
 
