@@ -136,6 +136,16 @@ def tiled_supported(F: int, Q: int, L: int, pack: int = 8, micro: int = 1,
                        window_carry=window_carry) is not None
 
 
+def _shift_concat(parts, axis=0):
+    """Concatenate window-shift parts, dropping zero-length ones: Mosaic's
+    concatenate lowering rejects empty operands ("Invalid type: slice"
+    on-chip only — interpret mode accepts them), and small window
+    geometries (Q=2 sweep windows, look_ahead=0 amp windows) legitimately
+    produce empty edge slices."""
+    live = [p for p in parts if p.shape[axis]]
+    return live[0] if len(live) == 1 else jnp.concatenate(live, axis=axis)
+
+
 def _freq_halo(rows_r, rows_i, F, L):
     """(..., F) -> (..., F+2L): conjugate-reflected margins via width-1
     static lane slices (Mosaic has no lane reverse)."""
@@ -370,8 +380,9 @@ def _window_sweep(xr, xi, am, wr_ref, wi_ref, nz, thr, *, Q, L, F, P, T_loop,
         init = (jnp.concatenate([r for r, _ in rows0], axis=0),
                 jnp.concatenate([i for _, i in rows0], axis=0))
         row = lambda w, dr: w[dr:dr + 1]  # noqa: E731
-        shift = lambda w, upd, new: jnp.concatenate(  # noqa: E731
-            [w[1:Q1], upd, w[Q1 + 1:], new], axis=0)
+        # Q=2 makes w[1:Q1] an EMPTY slice (see _shift_concat)
+        shift = lambda w, upd, new: _shift_concat(  # noqa: E731
+            (w[1:Q1], upd, w[Q1 + 1:], new))
 
     # lane-granular threshold skip (the reference's per-bin sparsity skip,
     # lwslib.cpp:84-85, at VPU register-tile granularity): amp is constant
@@ -868,10 +879,10 @@ def _online_kernel(thr_ref, mean_ref, sr_hbm, si_hbm, wr_ref, wi_ref,
         # drain steps (m >= T) shift in a dead row: amp 0 + thr big disable
         # every update, so only the commit pipeline advances
         amp_new = jnp.where(live, jnp.sqrt(rr * rr + ri * ri), 0.0)
-        ampw = jnp.concatenate([ampw[1:], amp_new], axis=0)
+        ampw = _shift_concat((ampw[1:], amp_new))
         fr_, fi_ = _freq_halo(rr, ri, F, L)
-        win_r = jnp.concatenate([win_r[1:W], fr_, win_r[W:]], axis=0)
-        win_i = jnp.concatenate([win_i[1:W], fi_, win_i[W:]], axis=0)
+        win_r = _shift_concat((win_r[1:W], fr_, win_r[W:]))
+        win_i = _shift_concat((win_i[1:W], fi_, win_i[W:]))
 
         amp_m = ampw[LA:LA + 1]
         thr0 = jnp.where(live, jnp.zeros((), cdt), big)
@@ -1039,10 +1050,10 @@ def _online_chunk_kernel(thr_ref, nlive_ref, mean_ref, sr_hbm, si_hbm,
         live = m < n_live
         rr, ri = load_row(m)
         amp_new = jnp.where(live, jnp.sqrt(rr * rr + ri * ri), 0.0)
-        ampw = jnp.concatenate([ampw[1:], amp_new], axis=0)
+        ampw = _shift_concat((ampw[1:], amp_new))
         fr_, fi_ = _freq_halo(rr, ri, F, L)
-        win_r = jnp.concatenate([win_r[1:W], fr_, win_r[W:]], axis=0)
-        win_i = jnp.concatenate([win_i[1:W], fi_, win_i[W:]], axis=0)
+        win_r = _shift_concat((win_r[1:W], fr_, win_r[W:]))
+        win_i = _shift_concat((win_i[1:W], fi_, win_i[W:]))
 
         amp_m = ampw[LA:LA + 1]
         mean_m = mean_ref[0, m]  # (P, 1) running (or fixed) mean at frame m

@@ -34,6 +34,10 @@ def main():
         fsize, fshift, B, T, F, iters, audio_s = 2048, 256, 1024, 216, 1025, 100, 1024 * 2.5
     elif which == "batch":
         fsize, fshift, B, T, F, iters, audio_s = 512, 128, 32, 628, 257, 100, 32 * 5.0
+    elif which == "q2":
+        # low-overlap geometry (Q=2, color2x3 default scheme): decides
+        # whether the auto window planner should prefer direct at small Q
+        fsize, fshift, B, T, F, iters, audio_s = 512, 256, 32, 314, 257, 100, 32 * 5.0
     else:
         raise SystemExit(f"unknown config {which}")
 
@@ -60,6 +64,14 @@ def main():
         "direct-p8-unroll": dict(pack=8, window_carry="direct",
                                  frame_unroll=-1),
         "rows-p16": dict(pack=16, window_carry="rows"),
+        "direct-p64": dict(pack=64, window_carry="direct"),
+        # headline decision at the quality default (batch_inner_passes=3
+        # for jacobi Q=4): serving unroll vs plain direct
+        "unroll-p16-ip3": dict(pack=16, frame_unroll=-1, window_carry="rows",
+                               inner_passes=3),
+        "direct-p32-ip3": dict(pack=32, window_carry="direct",
+                               inner_passes=3),
+        "stack-p16-ip3": dict(pack=16, inner_passes=3),
         "unroll-p16": dict(pack=16, frame_unroll=-1, window_carry="rows"),
         "direct-unroll-p16": dict(pack=16, frame_unroll=-1,
                                   window_carry="direct"),
@@ -69,6 +81,10 @@ def main():
         kw = dict(VARIANTS[name])
         if "pack" not in kw:
             kw["pack"] = proc._eff_pack((sr, si)) or 8
+        # run the processor's default in-frame scheme for the geometry
+        # (color2x3 at Q <= 3), so carry-mode comparisons reflect what the
+        # production path would launch
+        kw.setdefault("inner_scheme", proc.inner_scheme)
         fn = jax.jit(lambda a, b, t, kw=kw: tiled_lws_sweeps(
             a, b, proc._st_batch, t, **kw))
         try:

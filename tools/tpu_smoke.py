@@ -72,6 +72,33 @@ def main():
     want = oracle.oracle_sweeps(S_sparse, p.W_ai, thr, visibility=-1)
     check("nofuture", got, want, 2e-3)
 
+    print("Q=2 small-window lowering (empty shift slices) vs oracle:")
+    # Q=2 makes the carried-window shift produce EMPTY edge slices, which
+    # Mosaic's concatenate rejects unless dropped (_shift_concat) — a
+    # hardware-only failure interpret mode cannot see. All carries must
+    # compile AND stay sparse-exact.
+    from lws_tpu.ops.pallas_packed import tiled_lws_sweeps
+    pq2 = LWS(512, 256, L=5, dtype=jnp.float32)
+    want_q2 = oracle.oracle_sweeps(S_sparse, pq2.W, thr)
+    sr2 = jnp.asarray(S_sparse.real, jnp.float32)
+    si2 = jnp.asarray(S_sparse.imag, jnp.float32)
+    for carry in ("stack", "rows", "direct"):
+        o_r, o_i = tiled_lws_sweeps(
+            sr2[None], si2[None], pq2._st_batch,
+            jnp.asarray(thr, jnp.float32), pack=8, window_carry=carry,
+            inner_scheme=pq2.inner_scheme)
+        got = (np.asarray(o_r) + 1j * np.asarray(o_i))[0]
+        check(f"q2-{carry}", got, want_q2, 2e-3)
+
+    print("look_ahead=0 online (empty amp-window shift) compiles and runs:")
+    p0 = LWS(512, 128, L=5, look_ahead=0, dtype=jnp.float32)
+    got0 = np.asarray(p0.online_lws(S_sparse, thresholds=thr))
+    if not np.all(np.isfinite(got0)):
+        print("  la0-online: non-finite output FAIL")
+        failures.append("la0-online")
+    else:
+        print("  la0-online: ok")
+
     print("online (streaming kernel) vs reference sparse golden:")
     p2 = LWS(512, 128, L=5, look_ahead=2, dtype=jnp.float32)
     got = np.asarray(p2.online_lws(golden["online_sparse_in"],

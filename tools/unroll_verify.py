@@ -24,6 +24,13 @@ def main():
     ap.add_argument("--window", default="rows")
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--pack", type=int, default=16)
+    ap.add_argument("--passes", type=int, default=None,
+                    help="inner_passes (default: the processor's batch-stage"
+                         " default, 3 at jacobi Q=4)")
+    ap.add_argument("--unroll", type=int, default=-1,
+                    help="frame_unroll of the probed variant (use 1 with"
+                         " --window direct for the plain-direct serving"
+                         " candidate)")
     args = ap.parse_args()
 
     import jax
@@ -40,10 +47,13 @@ def main():
     pair = (amp, jnp.zeros_like(amp))
     thr = jnp.asarray(get_thresholds(iters, 100, 0.1, 1), dtype=proc.rdtype)
 
+    passes = (proc.batch_inner_passes if args.passes is None
+              else int(args.passes))
+
     def build(u, w):
         return jax.jit(functools.partial(
             tiled_lws_sweeps, st=proc._st_batch, micro=1, pack=args.pack,
-            inner_passes=proc.inner_passes, inner_scheme=proc.inner_scheme,
+            inner_passes=passes, inner_scheme=proc.inner_scheme,
             window_carry=w, frame_unroll=u))
 
     base_fn = build(1, "stack")
@@ -52,12 +62,12 @@ def main():
     jax.block_until_ready(base)
     print(f"unroll=1 compile {time.time() - t0:.1f}s", file=sys.stderr)
 
-    full_fn = build(-1, args.window)
+    full_fn = build(args.unroll, args.window)
     t0 = time.time()
     out = full_fn(*pair, thresholds=thr)
     jax.block_until_ready(out)
-    print(f"full-unroll ({args.window}) compile {time.time() - t0:.1f}s",
-          file=sys.stderr)
+    print(f"unroll={args.unroll} ({args.window}) compile "
+          f"{time.time() - t0:.1f}s", file=sys.stderr)
 
     dr = float(np.max(np.abs(np.asarray(out[0]) - np.asarray(base[0]))))
     di = float(np.max(np.abs(np.asarray(out[1]) - np.asarray(base[1]))))
