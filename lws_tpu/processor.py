@@ -84,7 +84,7 @@ class LWS:
         inner_passes=None,
         inner_scheme=None,
         backend="auto",
-        pallas_pack=16,
+        pallas_pack=32,
         pallas_storage=None,
         pallas_unroll=1,
         pallas_window=None,
@@ -144,6 +144,11 @@ class LWS:
         # experiments, but are not constructor knobs — the production path
         # always runs the exact reference frame order (micro=1, dense rows)
         self.pallas_micro = 1
+        # configured sublane-pack ceiling: the launch planner walks a
+        # halving ladder (32 -> 16 -> 8) and the kernel clamps to the batch
+        # size, so 32 costs nothing on small batches and buys ~5-60%
+        # on well-filled ones (PERF.md round-4 levers: p32 vs p16 measured
+        # 999 vs 958 at Q=4, 1629 vs 1295 at Q=2)
         self.pallas_pack = int(pallas_pack)
         # opt-in bf16 state storage for the batch/no-future tiled kernels:
         # halves HBM traffic / VMEM at slightly reduced fidelity (compute
@@ -161,9 +166,11 @@ class LWS:
         # "direct" (no carried window; frequency-pre-extended scratch rows)
         # — bit-identical outputs, different Mosaic compilation/VMEM
         # trade-offs (PERF.md). None (default) = auto: the launch planner
-        # prefers the carried modes and switches to direct per call when
-        # that wins back a sublane pack the carried spill cannot fit
-        # (e.g. the vocoder's Q=8/F=1025 at pack=16, +44% measured).
+        # prefers direct (faster at every probed geometry, 10-20x faster
+        # compiles, and its halved scoped spill keeps wide packs where the
+        # carried window cannot — e.g. the vocoder's Q=8/F=1025 pack=16,
+        # +44% measured), falling back to the carried modes for bf16
+        # storage and tap-chunked launches (_window_modes).
         if pallas_window not in (None, "stack", "rows", "direct"):
             raise ValueError(
                 "pallas_window must be None (auto), 'stack', 'rows' or 'direct'")
@@ -305,17 +312,36 @@ class LWS:
 
     def _window_modes(self):
         """Window-carry candidates in preference order. An explicit
-        pallas_window pins the mode; the None default tries the carried
-        representation first (lowest steady-state overhead at small Q) and
-        then "direct", whose halved scoped-VMEM spill can keep a wide
-        sublane pack where the carried window cannot (vocoder-class
-        geometries, PERF.md). tap_chunks > 1 belongs to the carried modes
-        only, so auto never pairs it with direct."""
+        pallas_window pins the mode. The None default prefers "direct"
+        (frequency-pre-extended scratch rows, no carried register window):
+        measured faster than the carried modes at every probed geometry —
+        Q=2 +0..26%, Q=4 +6..15%, Q=8 +44% (PERF.md round-4 levers) — and
+        its simpler IR compiles 10-20x faster. Carried "stack" stays as the
+        fallback and as the preferred mode when it preserves precision or
+        a knob requires it: bf16 storage (the carried window keeps f32
+        rows across the frame, direct re-reads rounded state) and
+        tap_chunks > 1 (nothing to chunk in direct mode)."""
         if self.pallas_window is not None:
             return (self.pallas_window,)
         if self.pallas_tap_chunks > 1:
             return ("stack",)
-        return ("stack", "direct")
+        if self.pallas_storage is not None:
+            return ("stack", "direct")
+        return ("direct", "stack")
+
+    def _pack_ladder(self):
+        """Sublane-pack candidates: halving ladder from the configured pack
+        down to the 8-row physical minimum (32 -> 32, 16, 8), so a wide
+        default still finds the largest pack each geometry fits."""
+        p = self.pallas_pack
+        if p <= 8:
+            return (p,)
+        ladder = []
+        while p > 8:
+            ladder.append(p)
+            p //= 2
+        ladder.append(8)
+        return tuple(ladder)
 
     def _plan_tiled(self, pair):
         """(pack, segments, window_carry) launch plan for the tiled
@@ -335,8 +361,7 @@ class LWS:
         T = pair[0].shape[-2]
         B = int(np.prod(pair[0].shape[:-2])) if pair[0].ndim > 2 else 1
         isz = (self.pallas_storage or jnp.dtype(self.rdtype)).itemsize
-        packs = (self.pallas_pack,) if self.pallas_pack <= 8 else (self.pallas_pack, 8)
-        for p in packs:
+        for p in self._pack_ladder():
             for w in self._window_modes():
                 S = self._auto_segments(B, T, p)
                 while S >= 1:
@@ -562,8 +587,7 @@ class LWS:
         F = pair[0].shape[-1]
         B = int(np.prod(pair[0].shape[:-2])) if pair[0].ndim > 2 else 1
         isz = (self.pallas_storage or jnp.dtype(self.rdtype)).itemsize
-        packs = (self.pallas_pack,) if self.pallas_pack <= 8 else (self.pallas_pack, 8)
-        for p in packs:
+        for p in self._pack_ladder():
             for w in self._window_modes():
                 if tiled_supported(F, self._Qi, self.L, pack=p,
                                    micro=self.pallas_micro, B=B, itemsize=isz,

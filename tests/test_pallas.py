@@ -417,7 +417,7 @@ def test_pack_downshift_and_bf16_unlock():
     # the gate approves the configured pack=16 against the clamped P=8
     assert tiled_supported(1025, 8, 5, pack=16, B=2)
     small = (jnp.zeros((2, 64, 1025)), jnp.zeros((2, 64, 1025)))
-    assert proc._plan_tiled(small) == (16, 1, "stack")
+    assert proc._plan_tiled(small) == (16, 1, "direct")
 
 
 def test_plan_tiled_accounts_for_segmentation():
@@ -441,7 +441,7 @@ def test_plan_tiled_accounts_for_segmentation():
                            window_carry=w)
     # a short workload keeps the unsegmented exact order
     small = jax.ShapeDtypeStruct((2, 64, 1025), jnp.float32)
-    assert proc._plan_tiled((small, small)) == (16, 1, "stack")
+    assert proc._plan_tiled((small, small)) == (16, 1, "direct")
 
 
 def test_online_gate_independent_of_tiled_plan(monkeypatch):
@@ -528,7 +528,16 @@ def test_pallas_unroll_processor_plumbing(monkeypatch):
         assert "window_carry" not in fn.__wrapped__.keywords
     assert proc._window_modes() == ("rows",)
     auto = LWS(512, 128, dtype=jnp.float32)
-    assert auto._window_modes() == ("stack", "direct")
+    assert auto._window_modes() == ("direct", "stack")
+    # bf16 storage prefers the carried window (f32 rows across the frame;
+    # direct would re-read bf16-rounded state), tap_chunks pins stack
+    bf16 = LWS(512, 128, dtype=jnp.float32, pallas_storage="bfloat16")
+    assert bf16._window_modes() == ("stack", "direct")
+    tc = LWS(512, 128, dtype=jnp.float32, pallas_tap_chunks=2)
+    assert tc._window_modes() == ("stack",)
+    # pack ladder: halving from the configured ceiling to the 8-row minimum
+    assert auto._pack_ladder() == (32, 16, 8)
+    assert LWS(512, 128, pallas_pack=8)._pack_ladder() == (8,)
     with pytest.raises(ValueError, match="pallas_window"):
         LWS(512, 128, pallas_window="circular")
 
