@@ -104,15 +104,17 @@ def _tiled_tile(F: int, Q: int, L: int, P: int, micro: int = 1,
     factor = 1.1 if int(tap_chunks) <= 1 else 1.45
     stack_bytes = int(factor * ntaps * P * chunk_fpad * 4)
     if window_carry == "direct":
-        # no carried window, but Mosaic still keeps a large share of the tap
-        # temporaries live across the frame body: measured on-chip at
-        # Q=8/L=5/F=1025/P=16 (forced-OOM scoped reports: demand 16.02M at
-        # TT=24, 18.13M at TT=32 -> fixed stack ~= 7.6M = 0.57x the full
-        # ntaps*P*epad spill; ~half the carried-stack mode's 1.04x, not the
-        # O(one row) the round-3 model assumed). Budgeted at 0.74x: lands at
-        # or below the verified-compiling tile 16 at Q=8/F=1025/P=16 (tile 22
-        # measured 16.02M — over) and ~tile 75 at P=8 (80 verified).
-        stack_bytes = int(0.74 * ntaps * P * epad * 4)
+        # no carried window, but Mosaic still keeps tap temporaries live
+        # across the frame body, SATURATING around ~110 of them (forced-OOM
+        # scoped reports, on-chip): at Q=4/L=5/F=2049/P=16 the fixed stack
+        # is ~1.00x the full ntaps*P*epad spill (all 77 taps live: demand
+        # 16.14M at tile 12, 20.93M at tile 24 -> fixed ~= 11.3M), while at
+        # Q=8/L=5/F=1025/P=16 it is only 0.57x of 165 taps (~94 live:
+        # demand 16.02M at tile 24, 18.13M at tile 32 -> fixed ~= 7.6M).
+        # Budget min(ntaps, 120) at 1.1x: reproduces both measurements with
+        # margin (vocoder tile 15 vs 16 verified; F=2049 P=16 correctly
+        # refused — tile 8 compiles but at 14.5M/16M, too snug to approve).
+        stack_bytes = int(1.1 * min(ntaps, 120) * P * epad * 4)
     budget = 15 * 2 ** 20 + 2 ** 18 - halo_bytes - stack_bytes
     rows = budget // row
     if rows < 8:

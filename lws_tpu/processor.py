@@ -332,8 +332,16 @@ class LWS:
     def _pack_ladder(self):
         """Sublane-pack candidates: halving ladder from the configured pack
         down to the 8-row physical minimum (32 -> 32, 16, 8), so a wide
-        default still finds the largest pack each geometry fits."""
+        default still finds the largest pack each geometry fits.
+
+        Full frame unroll caps the ladder at 16: the unrolled straight-line
+        body inflates Mosaic's scoped stack beyond the unroll=1-calibrated
+        VMEM model (rows+unroll at p32/F=257 measured 17.44M demand vs the
+        16M limit on-chip), and p16 is where the serving mode was measured
+        (PERF.md)."""
         p = self.pallas_pack
+        if self.pallas_unroll != 1:
+            p = min(p, 16)
         if p <= 8:
             return (p,)
         ladder = []
@@ -447,10 +455,12 @@ class LWS:
         if plan is not None:
             pk, S, w = plan
             if S > 1:
-                # 4 sweeps per halo exchange: quality-equivalent, ~20%
-                # faster than per-sweep exchange (PERF.md)
+                # 10 sweeps per halo exchange: measured quality-equivalent
+                # on the longform config (10.95 vs 10.96 dB at 4) and
+                # another +5% over the round-3 cadence of 4, which was
+                # already ~20% over per-sweep exchange (PERF.md)
                 fn = functools.partial(seg, segments=S,
-                                       sweeps_per_exchange=4, pack=pk,
+                                       sweeps_per_exchange=10, pack=pk,
                                        window_carry=w)
                 return self._run_flat(fn, sr, si, thresholds)
             # the time-tiled kernel streams state through VMEM, so the wide

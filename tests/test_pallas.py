@@ -538,6 +538,10 @@ def test_pallas_unroll_processor_plumbing(monkeypatch):
     # pack ladder: halving from the configured ceiling to the 8-row minimum
     assert auto._pack_ladder() == (32, 16, 8)
     assert LWS(512, 128, pallas_pack=8)._pack_ladder() == (8,)
+    # full unroll caps the ladder at 16 (unrolled bodies inflate the scoped
+    # stack beyond the unroll=1-calibrated VMEM model — measured OOM at p32)
+    serving = LWS(512, 128, pallas_unroll=-1, pallas_window="rows")
+    assert serving._pack_ladder() == (16, 8)
     with pytest.raises(ValueError, match="pallas_window"):
         LWS(512, 128, pallas_window="circular")
 
