@@ -55,13 +55,28 @@ def make_batch(B, n, sr_hz, rng):
 
 
 def _timed(fn, *args, n_rep=3, **kw):
-    """Compile+warm once, then median of n_rep steady-state walls."""
+    """Compile+warm once, then median of n_rep steady-state walls.
+
+    Every rep runs on freshly perturbed input buffers (x * (1 + 1e-6 r)):
+    re-calling a full-unroll kernel on the SAME buffers can report
+    near-zero walls (runtime-level result reuse, PERF.md) — fresh buffers
+    defeat it without changing the workload. Non-float leaves (thresholds
+    etc.) pass through untouched."""
+    import jax
+    import jax.numpy as jnp
+
     out = fn(*args, **kw)
     jax_block(out)
     walls = []
-    for _ in range(n_rep):
+    for r in range(n_rep):
+        eps = 1.0 + 1e-6 * (r + 1)
+        fresh = jax.tree_util.tree_map(
+            lambda a: a * eps
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+            else a, args)
+        jax.block_until_ready(fresh)
         t0 = time.time()
-        out = fn(*args, **kw)
+        out = fn(*fresh, **kw)
         jax_block(out)
         walls.append(time.time() - t0)
     return out, float(np.median(walls))
