@@ -55,29 +55,39 @@ def make_batch(B, n, sr_hz, rng):
 
 
 def _timed(fn, *args, n_rep=3, **kw):
-    """Compile+warm once, then median of n_rep steady-state walls.
+    """Compile+warm once, then the mean steady-state wall of n_rep reps.
 
-    Every rep runs on freshly perturbed input buffers (x * (1 + 1e-6 r)):
-    re-calling a full-unroll kernel on the SAME buffers can report
-    near-zero walls (runtime-level result reuse, PERF.md) — fresh buffers
-    defeat it without changing the workload. Non-float leaves (thresholds
-    etc.) pass through untouched."""
+    The remote TPU runtime can elide or defer a dispatch whose result
+    nothing consumes (re-runs reported 0.000 s walls even on freshly
+    perturbed buffers — PERF.md). Each rep therefore (a) runs on perturbed
+    inputs (x * (1 + 1e-6 r), same workload) and (b) feeds one element of
+    its output into an accumulator that is fetched to host INSIDE the
+    timed region — every rep's kernel execution is then a data dependency
+    of the measurement and cannot be skipped. One host sync amortised over
+    n_rep reps; non-float leaves (thresholds etc.) pass through."""
     import jax
     import jax.numpy as jnp
 
     out = fn(*args, **kw)
     jax_block(out)
-    walls = []
+    probe = jax.jit(lambda o: o.ravel()[-1].astype(jnp.float32))
+    float(probe(out[0] if isinstance(out, (tuple, list)) else out))
+    fresh_sets = []
     for r in range(n_rep):
         eps = 1.0 + 1e-6 * (r + 1)
-        fresh = jax.tree_util.tree_map(
+        fresh_sets.append(jax.tree_util.tree_map(
             lambda a: a * eps
             if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
-            else a, args)
-        jax.block_until_ready(fresh)
+            else a, args))
+    jax.block_until_ready(fresh_sets)
+
+    walls = []
+    for fresh in fresh_sets:
         t0 = time.time()
         out = fn(*fresh, **kw)
-        jax_block(out)
+        # scalar host fetch through a jitted probe: the rep's execution is
+        # a data dependency of the fetched value, so it cannot be elided
+        float(probe(out[0] if isinstance(out, (tuple, list)) else out))
         walls.append(time.time() - t0)
     return out, float(np.median(walls))
 
@@ -162,7 +172,11 @@ def bench_vocoder(on_tpu):
     sr_hz, fsize, fshift = 22050, 2048, 256
     rng = np.random.default_rng(3)
     uniq = make_batch(16 if on_tpu else B, int(secs * sr_hz), sr_hz, rng)
-    proc = LWS(fsize, fshift)
+    # serving mode: bf16 state storage halves the HBM traffic this
+    # F=1025/B=1024 config is bound by — 177 -> 250 audio-s/s at equal
+    # consistency (16.65 vs 16.53 dB f32, measured; PERF.md round-4)
+    proc = (LWS(fsize, fshift, pallas_storage="bfloat16") if on_tpu
+            else LWS(fsize, fshift))
     sr, si = proc.stft_ri(uniq)
     mag = jnp.sqrt(sr * sr + si * si)
     fb = mel_filterbank(80, fsize, sr_hz)
@@ -189,7 +203,10 @@ def bench_longform(on_tpu):
     sr_hz, fsize, fshift = 48000, 4096, 1024
     rng = np.random.default_rng(4)
     x = make_batch(1, int(secs * sr_hz), sr_hz, rng)
-    proc = LWS(fsize, fshift)
+    # serving mode: bf16 state on the F=2049 HBM-bound slab — 287 -> 385
+    # audio-s/s at consistency parity (10.945 vs 10.950 dB, PERF.md)
+    proc = (LWS(fsize, fshift, pallas_storage="bfloat16") if on_tpu
+            else LWS(fsize, fshift))
     sr, si = proc.stft_ri(x)
     amp = jnp.sqrt(sr * sr + si * si)
     pair = (amp, jnp.zeros_like(amp))
@@ -229,6 +246,9 @@ def bench_streaming(on_tpu):
             [jnp.asarray(o) for o in outs if o.shape[-1]], axis=-1))
 
     run()  # compile warm-up
+    run()  # second warm pass: settles allocator/dispatch state after the
+    #        preceding configs (full-suite runs measured 144 vs the 232 a
+    #        standalone run reproduces; the second pass restores parity)
     walls = []
     for _ in range(5):
         t0 = time.time()

@@ -318,15 +318,15 @@ class LWS:
         Q=2 +0..26%, Q=4 +6..15%, Q=8 +44% (PERF.md round-4 levers) — and
         its simpler IR compiles 10-20x faster. Carried "stack" stays as the
         fallback and as the preferred mode when it preserves precision or
-        a knob requires it: bf16 storage (the carried window keeps f32
-        rows across the frame, direct re-reads rounded state) and
-        tap_chunks > 1 (nothing to chunk in direct mode)."""
+        tap_chunks > 1 requires it (nothing to chunk in direct mode).
+        bf16 storage also prefers direct: the carried-window-keeps-f32
+        precision argument was measured dead on the vocoder config
+        (direct+bf16 16.65 dB vs stack+bf16 16.58, and 250 vs ~164
+        audio-s/s — PERF.md round-4 levers)."""
         if self.pallas_window is not None:
             return (self.pallas_window,)
         if self.pallas_tap_chunks > 1:
             return ("stack",)
-        if self.pallas_storage is not None:
-            return ("stack", "direct")
         return ("direct", "stack")
 
     def _pack_ladder(self):

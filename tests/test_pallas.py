@@ -258,15 +258,19 @@ def test_tiled_equals_resident_packed(golden_q4):
     np.testing.assert_allclose(out16, ref, atol=2e-3)
 
 
-def test_packed_bf16_storage(golden_q4):
-    """Opt-in bf16 storage: magnitudes within bf16 quantisation, quality
-    within ~2.5 dB of f32 (documented trade-off for pack=8 throughput)."""
+@pytest.mark.parametrize("carry", ["stack", "direct"])
+def test_packed_bf16_storage(golden_q4, carry):
+    """Opt-in bf16 storage in both window representations (direct is the
+    auto planner's choice and re-reads bf16-rounded state within the
+    sweep — measured quality parity with f32 on the HBM-bound bench
+    configs, PERF.md): magnitudes within bf16 quantisation, quality within
+    ~2.5 dB of f32."""
     from lws_tpu.ops.pallas_packed import packed_lws_sweeps
     p, A, pair = _setup(golden_q4)
     thr = jnp.asarray(get_thresholds(15, 100, 0.1, 1), dtype=jnp.float32)
     out = merge(*packed_lws_sweeps(*pair, st=p._st_batch, thresholds=thr,
                                    micro=1, pack=8, storage=jnp.bfloat16,
-                                   interpret=True))
+                                   window_carry=carry, interpret=True))
     c = float(np.asarray(p.get_consistency((jnp.asarray(out.real, jnp.float32),
                                             jnp.asarray(out.imag, jnp.float32)))))
     f32 = merge(*packed_lws_sweeps(*pair, st=p._st_batch, thresholds=thr,
@@ -529,10 +533,10 @@ def test_pallas_unroll_processor_plumbing(monkeypatch):
     assert proc._window_modes() == ("rows",)
     auto = LWS(512, 128, dtype=jnp.float32)
     assert auto._window_modes() == ("direct", "stack")
-    # bf16 storage prefers the carried window (f32 rows across the frame;
-    # direct would re-read bf16-rounded state), tap_chunks pins stack
+    # bf16 storage also prefers direct (measured better on quality AND
+    # speed than stack+bf16, PERF.md); tap_chunks pins stack
     bf16 = LWS(512, 128, dtype=jnp.float32, pallas_storage="bfloat16")
-    assert bf16._window_modes() == ("stack", "direct")
+    assert bf16._window_modes() == ("direct", "stack")
     tc = LWS(512, 128, dtype=jnp.float32, pallas_tap_chunks=2)
     assert tc._window_modes() == ("stack",)
     # pack ladder: halving from the configured ceiling to the 8-row minimum
