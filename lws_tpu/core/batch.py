@@ -14,6 +14,7 @@ from jax import lax
 from .stencil import (
     Stencil,
     apply_stencil,
+    apply_stencil_mxu,
     freq_extend,
     make_time_halos,
     phase_update,
@@ -30,13 +31,17 @@ def lws_sweeps(
     order: str = "gs",
     inner_passes: int = 1,
     inner_scheme: str = "jacobi",
+    precision=None,
 ):
     """Run len(thresholds) LWS sweeps over (sr, si) of shape (..., T, F).
 
     Target magnitudes are fixed to |S| at entry (lwslib.cpp:59-65 via
     python/lws.pyx:239); thresholds are scaled by the per-item mean input
     magnitude (python/lws.pyx:240-245). `order` selects the sweep schedule:
-    "gs" (frame-sequential Gauss-Seidel, reference-like) or "jacobi".
+    "gs" (frame-sequential Gauss-Seidel, reference-like), "jacobi"
+    (whole-grid parallel sweeps), or "jacobi_mxu" (the same Jacobi sweeps
+    with the frequency taps cast as banded matmuls so the MXU does the
+    FLOPs — apply_stencil_mxu; `precision` sets the matmul precision).
     """
     if thresholds.shape[0] == 0:
         return sr, si
@@ -49,14 +54,19 @@ def lws_sweeps(
     top_r, bot_r = make_time_halos(xr0, Q)
     top_i, bot_i = make_time_halos(xi0, Q)
 
-    if order == "jacobi":
+    if order in ("jacobi", "jacobi_mxu"):
+        mxu = order == "jacobi_mxu"
+
         def one_iter(carry, thr_rel):
             cr, ci = carry
             thr = thr_rel * mean_amp
             er, ei = freq_extend(cr, ci, L)
             xr = time_extend(er, top_r, bot_r)
             xi = time_extend(ei, top_i, bot_i)
-            tr, ti = apply_stencil(xr, xi, st)
+            if mxu:
+                tr, ti = apply_stencil_mxu(xr, xi, st, precision=precision)
+            else:
+                tr, ti = apply_stencil(xr, xi, st)
             return phase_update(tr, ti, amp, cr, ci, thr), None
 
         (sr, si), _ = lax.scan(one_iter, (sr, si), thresholds)

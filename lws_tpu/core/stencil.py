@@ -58,6 +58,36 @@ class Stencil:
     def n_bins(self) -> int:
         return self.Wr.shape[-1]
 
+    def band_mats(self):
+        """Banded (2Q-1, F+2L, F) matmul form of the per-dr frequency taps,
+        cached on first use: M[dr, n+dk, n] = W[dr, dk, n], so the whole
+        dk-sum over a frequency-extended row block is one (T, F+2L) @
+        (F+2L, F) matmul per dr — the MXU-order Jacobi sweep's workhorse
+        (apply_stencil_mxu). Band density is 11/(F+2L) but the ~35x FLOP
+        inflation rides the MXU's ~100x advantage over elementwise VPU
+        taps, and the whole (B, T) grid batches into the matmul."""
+        if getattr(self, "_band", None) is None:
+            F, Q, L = self.n_bins, self.Q, self.L
+            E = F + 2 * L
+            Wr = np.asarray(self.Wr, np.float64)
+            Wi = np.asarray(self.Wi, np.float64)
+            Mr = np.zeros((2 * Q - 1, E, F))
+            Mi = np.zeros((2 * Q - 1, E, F))
+            cols = np.arange(F)
+            for dr in range(2 * Q - 1):
+                for dk in range(2 * L + 1):
+                    if not self.nz[dr, dk]:
+                        continue
+                    Mr[dr, cols + dk, cols] = Wr[dr, dk]
+                    Mi[dr, cols + dk, cols] = Wi[dr, dk]
+            # cache NUMPY arrays: band_mats can first be called inside a
+            # jit trace, where jnp.asarray returns a trace-local tracer —
+            # caching that leaks it into later traces. numpy constants are
+            # trace-safe and XLA hoists the conversion.
+            dt = np.dtype(self.Wr.dtype)
+            object.__setattr__(self, "_band", (Mr.astype(dt), Mi.astype(dt)))
+        return self._band
+
 
 def make_stencil(Wst_np: np.ndarray, Q: int, L: int, v: int, dtype=jnp.float32) -> Stencil:
     """Apply the dr <= v visibility mask and move the stencil to device.
@@ -148,6 +178,34 @@ def apply_stencil(xr: jnp.ndarray, xi: jnp.ndarray, st: Stencil) -> RI:
             bi = xi[..., dr:dr + T, dk:dk + F]
             tr = tr + (wr * br - wi * bi)
             ti = ti + (wr * bi + wi * br)
+    return tr, ti
+
+
+def apply_stencil_mxu(xr: jnp.ndarray, xi: jnp.ndarray, st: Stencil,
+                      precision=None) -> RI:
+    """`apply_stencil` recast as banded matmuls so the MXU does the FLOPs.
+
+    Same math, different op order: per time offset dr the (2L+1)-tap
+    frequency sum over the extended rows is ONE (..., T, F+2L) @ (F+2L, F)
+    matmul against the band matrix (Stencil.band_mats); the split-complex
+    product is the usual 4-real-matmul form. Elementwise-equivalent to
+    apply_stencil up to matmul accumulation order (float64 agreement to
+    1e-9, tests/test_mxu.py). `precision` is the jax matmul precision —
+    None (backend default; bf16-based passes on TPU) or "highest"
+    (f32-accurate, ~3x the MXU work)."""
+    Q = st.Q
+    T = xr.shape[-2] - 2 * (Q - 1)
+    Mr, Mi = st.band_mats()
+    tr = ti = 0.0
+    for dr in range(2 * Q - 1):
+        if not st.nz[dr].any():
+            continue
+        br = xr[..., dr:dr + T, :]
+        bi = xi[..., dr:dr + T, :]
+        tr = tr + (jnp.matmul(br, Mr[dr], precision=precision)
+                   - jnp.matmul(bi, Mi[dr], precision=precision))
+        ti = ti + (jnp.matmul(br, Mi[dr], precision=precision)
+                   + jnp.matmul(bi, Mr[dr], precision=precision))
     return tr, ti
 
 

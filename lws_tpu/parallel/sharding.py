@@ -151,9 +151,16 @@ def sharded_lws_sweeps(
             cr, ci = carry
             er, ei = freq_extend(cr, ci, L)
             xr, xi = extend(er, ei)
-            if order == "jacobi":
+            if order in ("jacobi", "jacobi_mxu"):
                 thr = thr_rel * mean_amp
-                tr, ti = apply_stencil(xr, xi, st)
+                if order == "jacobi_mxu":
+                    # banded-matmul taps (core/stencil.apply_stencil_mxu):
+                    # pure XLA, so it composes with the shard_map/ppermute
+                    # halo exchange with no extra plumbing
+                    from ..core.stencil import apply_stencil_mxu
+                    tr, ti = apply_stencil_mxu(xr, xi, st)
+                else:
+                    tr, ti = apply_stencil(xr, xi, st)
                 return phase_update(tr, ti, amp, cr, ci, thr), None
             thr = thr_rel * mean_amp[..., 0, :]
 

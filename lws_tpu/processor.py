@@ -81,6 +81,7 @@ class LWS:
         use_simplifications=True,
         dtype=None,
         order="gs",
+        precision=None,
         inner_passes=None,
         inner_scheme=None,
         backend="auto",
@@ -134,6 +135,11 @@ class LWS:
         self.look_ahead = int(look_ahead)
         self.use_simplifications = use_simplifications
         self.order = order
+        # matmul precision for order="jacobi_mxu" (None = backend default,
+        # bf16-pass on TPU): default parity with the elementwise Jacobi
+        # order holds up to ~17-19 dB consistency; "highest" recovers it
+        # exactly at ~2.6x the MXU work (PERF.md). Ignored by other orders.
+        self.precision = precision
         self._inner_passes_arg = inner_passes  # resolved after Q is known
         self.inner_scheme = inner_scheme  # resolved after Q is known
         self.backend = backend
@@ -255,9 +261,10 @@ class LWS:
         self._batch_xla = jax.jit(functools.partial(
             lws_sweeps, st=self._st_batch, order=self.order,
             inner_passes=self.batch_inner_passes,
-            inner_scheme=self.inner_scheme))
+            inner_scheme=self.inner_scheme, precision=self.precision))
         self._nofuture_xla = jax.jit(
-            functools.partial(lws_sweeps, st=self._st_nofuture, order=self.order))
+            functools.partial(lws_sweeps, st=self._st_nofuture,
+                              order=self.order, precision=self.precision))
         self._online_xla = jax.jit(functools.partial(
             rtisi_la, st_la=self._st_la, st_ai=self._st_nofuture, st_af=self._st_af,
             inner_passes=self.inner_passes, inner_scheme=self.inner_scheme))
