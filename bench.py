@@ -14,6 +14,8 @@ matlab/run_lws.m:48-55 / python/lws.pyx:379-383):
               validated by __graft_entry__.dryrun_multichip)
   6 streaming real-time chunked serving through StreamingLWS.push_block
               (raw samples in, committed audio out, one dispatch per block)
+  7 fastmode  config 1's workload under order="jacobi_mxu" (whole-grid
+              Jacobi sweeps as banded MXU matmuls, -0.4 dB vs exact GS)
 
 Prints ONE JSON line on stdout: the headline metric (config 1, the
 BASELINE.md 100x-real-time north-star) plus a "configs" object holding the
@@ -286,6 +288,28 @@ def bench_streaming(on_tpu):
                 cons=(None, c1), latency=lat)
 
 
+def bench_fastmode(on_tpu):
+    """The MXU Jacobi fast mode (order="jacobi_mxu"): the batch workload
+    with the frequency taps as banded matmuls — whole grid batched onto
+    the MXU, −0.4 dB vs the exact-GS default at this iteration count
+    (PERF.md round-4 levers)."""
+    import jax.numpy as jnp
+    from lws_tpu import LWS, get_thresholds
+    B, secs, iters = (32, 5.0, 100) if on_tpu else (2, 5.0, 10)
+    rng = np.random.default_rng(0)
+    x = make_batch(B, int(secs * 16000), 16000, rng)
+    proc = LWS(512, 128, order="jacobi_mxu")
+    sr, si = proc.stft_ri(x)
+    amp = jnp.sqrt(sr * sr + si * si)
+    pair = (amp, jnp.zeros_like(amp))
+    thr = jnp.asarray(get_thresholds(iters, 100, 0.1, 1), dtype=proc.rdtype)
+    out, wall = _timed(proc._batch_fn, *pair, thresholds=thr)
+    c0 = float(np.asarray(proc.get_consistency(pair)).mean())
+    c1 = float(np.asarray(proc.get_consistency(out)).mean())
+    return dict(name="fastmode", audio_s=B * secs, wall=wall, iters=iters,
+                shape=tuple(amp.shape), cons=(c0, c1))
+
+
 BENCHES = {
     1: bench_batch,
     2: bench_pipeline,
@@ -293,6 +317,7 @@ BENCHES = {
     4: bench_vocoder,
     5: bench_longform,
     6: bench_streaming,
+    7: bench_fastmode,
 }
 
 
@@ -379,7 +404,7 @@ def _stale_fallback(config=0):
     except OSError:
         pass
     names = {1: "batch", 2: "pipeline", 3: "online", 4: "vocoder",
-             5: "longform", 6: "streaming"}
+             5: "longform", 6: "streaming", 7: "fastmode"}
     head = names.get(config, "batch")
     value = configs.get(head)
     is_headline = head == "batch"
@@ -401,7 +426,7 @@ def _stale_fallback(config=0):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", type=int, default=0, choices=range(0, 7),
+    ap.add_argument("--config", type=int, default=0, choices=range(0, 8),
                     help="run one config (1-6); default all")
     ap.add_argument("--no-write", action="store_true",
                     help="skip regenerating BENCHMARKS.md")
