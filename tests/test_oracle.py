@@ -134,6 +134,24 @@ def test_longform_slice_anchored_to_oracle():
     assert c_j > c_c - 0.25, (c_j, c_c)
 
 
+def test_vocoder_scale_q8_anchored_to_oracle():
+    """Q=8 bench-scale anchoring (the vocoder stencil, 2048/256, T=223,
+    F=1025, full 100-iteration schedule, float64): the default batch path
+    (inner_passes=1 at Q=8 — no in-frame raster gap measured, QUALITY.md)
+    must track the oracle's consistency."""
+    p = LWS(2048, 256, dtype=jnp.float64)
+    A = np.abs(p.stft(_bench_mixture(int(2.5 * 22050), 22050, 3))
+               ).astype(np.complex128)
+    assert A.shape == (223, 1025)
+    thr = get_thresholds(100, 100, 0.1, 1)
+    out_j = np.asarray(p.batch_lws(A, thresholds=thr))
+    out_c = oracle.oracle_sweeps(A, p.W, thr)
+    c_j = float(np.asarray(p.get_consistency(out_j)))
+    c_c = float(np.asarray(p.get_consistency(out_c)))
+    assert c_j > c_c - 0.25, (c_j, c_c)
+    np.testing.assert_allclose(np.abs(out_j), np.abs(A), atol=1e-8)
+
+
 def test_jax_nofuture_matches_oracle_fresh_config():
     """A config with no golden: oracle and JAX agree exactly on no-future
     (strictly-past taps -> identical update order)."""
