@@ -420,14 +420,26 @@ class LWS:
         """On TPU, the frame-sequential XLA scan compiles pathologically; when
         the Pallas kernels do not apply (e.g. Q > 9) and the user did not
         explicitly ask for the XLA backend, fall back to Jacobi sweeps with a
-        warning. An explicit backend="xla" is always honoured."""
+        warning — in the MXU banded-matmul form at precision="highest",
+        which is elementwise-Jacobi-exact and measured 1.8x faster than the
+        elementwise form on the bench batch config (341 vs 191 audio-s/s,
+        PERF.md). Only cheap at moderate F: band FLOP inflation grows with
+        F, so wide-F geometries keep the elementwise form. An explicit
+        backend="xla" is always honoured."""
         if (jax.default_backend() == "tpu" and self.order == "gs"
                 and self.backend != "xla"):
             warnings.warn(
                 "lws_tpu: the Pallas kernels do not support this configuration; "
                 "using Jacobi-order sweeps on TPU (pass backend='xla' to force "
                 "the frame-sequential scan, or run off-TPU for the exact order)")
-            jfn = jax.jit(functools.partial(lws_sweeps, st=st, order="jacobi"))
+            F = sr.shape[-1]
+            if F <= 1100:
+                jfn = jax.jit(functools.partial(
+                    lws_sweeps, st=st, order="jacobi_mxu",
+                    precision="highest"))
+            else:
+                jfn = jax.jit(functools.partial(lws_sweeps, st=st,
+                                                order="jacobi"))
             return jfn(sr, si, thresholds=thresholds)
         return fn(sr, si, thresholds=thresholds)
 

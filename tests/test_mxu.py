@@ -92,6 +92,38 @@ def test_mxu_sharded_matches_unsharded():
                                atol=1e-9)
 
 
+def test_tpu_fallback_routes_to_mxu(monkeypatch):
+    """The TPU XLA fallback (Pallas-unsupported configs, order='gs') runs
+    the MXU Jacobi form at precision='highest' for moderate F (1.8x the
+    elementwise form at identical semantics, PERF.md) and keeps the
+    elementwise form at wide F (band inflation)."""
+    import lws_tpu.processor as procmod
+    calls = []
+    real = procmod.lws_sweeps
+
+    def spy(sr, si, st=None, thresholds=None, **kw):
+        calls.append(kw)
+        return real(sr, si, st=st, thresholds=thresholds, **kw)
+
+    monkeypatch.setattr(procmod, "lws_sweeps", spy)
+    monkeypatch.setattr(procmod.jax, "default_backend", lambda: "tpu")
+    p = LWS(512, 128, dtype=jnp.float32)
+    sr, si = _mk(5, B=1, T=24, F=257)
+    thr = jnp.asarray(get_thresholds(2, 1, 0.1, 1), jnp.float32)
+    with pytest.warns(UserWarning, match="Jacobi-order"):
+        p._xla_fallback(None, jnp.asarray(sr, jnp.float32),
+                        jnp.asarray(si, jnp.float32), thr, st=p._st_batch)
+    assert calls[-1]["order"] == "jacobi_mxu"
+    assert calls[-1]["precision"] == "highest"
+
+    pw = LWS(4096, 1024, dtype=jnp.float32)
+    sw, iw = _mk(6, B=1, T=16, F=2049)
+    with pytest.warns(UserWarning, match="Jacobi-order"):
+        pw._xla_fallback(None, jnp.asarray(sw, jnp.float32),
+                         jnp.asarray(iw, jnp.float32), thr, st=pw._st_batch)
+    assert calls[-1]["order"] == "jacobi"
+
+
 def test_mxu_processor_end_to_end():
     """LWS(order='jacobi_mxu') runs the full batch stage: magnitudes
     preserved, consistency in the same band as the elementwise Jacobi
