@@ -99,6 +99,48 @@ def main():
     else:
         print("  la0-online: ok")
 
+    print("segmented kernel (virtual-utterance halo exchange) on chip:")
+    # the auto-segmented long-form path's kernel: block-Jacobi at the seam
+    # means it is quality-equivalent to the unsegmented order, not
+    # bit-equal — check magnitudes exactly and consistency within the seam
+    # tolerance against the plain tiled kernel on the same dense input
+    from lws_tpu.ops.pallas_packed import segmented_lws_sweeps, tiled_lws_sweeps
+    S_dense = np.asarray(golden["S"]).astype(np.complex64)
+    dr = jnp.asarray(np.abs(S_dense)[None], jnp.float32)
+    di = jnp.zeros_like(dr)
+    # alpha=1 keeps the schedule dense from sweep one, so the seam
+    # behaviour is actually exercised (alpha=100's early sweeps are
+    # threshold-dead no-ops)
+    thr_d = jnp.asarray(get_thresholds(6, 1, 0.1, 1), jnp.float32)
+    seg_r, seg_i = segmented_lws_sweeps(
+        dr, di, p._st_batch, thr_d, segments=2, sweeps_per_exchange=1,
+        pack=8)
+    til_r, til_i = tiled_lws_sweeps(dr, di, p._st_batch, thr_d, pack=8)
+    mag_err = float(np.max(np.abs(
+        np.sqrt(np.asarray(seg_r)**2 + np.asarray(seg_i)**2) - np.abs(S_dense))))
+    c_seg = float(np.asarray(p.get_consistency((seg_r, seg_i))).mean())
+    c_til = float(np.asarray(p.get_consistency((til_r, til_i))).mean())
+    ok_seg = mag_err < 2e-3 and abs(c_seg - c_til) < 0.5
+    print(f"  segmented: mag err {mag_err:.2e}, consistency {c_seg:.2f} vs "
+          f"tiled {c_til:.2f} dB {'ok' if ok_seg else 'FAIL'}")
+    if not ok_seg:
+        failures.append("segmented")
+
+    print("MXU Jacobi fast mode (order='jacobi_mxu') on chip:")
+    # banded-matmul sweeps at highest precision vs the elementwise Jacobi
+    # XLA path — must agree to f32 roundoff on the sparse input
+    from lws_tpu.core.batch import lws_sweeps
+    sr_s = jnp.asarray(S_sparse.real[None], jnp.float32)
+    si_s = jnp.asarray(S_sparse.imag[None], jnp.float32)
+    mx = lws_sweeps(sr_s[0], si_s[0], p._st_batch,
+                    jnp.asarray(thr, jnp.float32), order="jacobi_mxu",
+                    precision="highest")
+    el = lws_sweeps(sr_s[0], si_s[0], p._st_batch,
+                    jnp.asarray(thr, jnp.float32), order="jacobi")
+    got = np.asarray(mx[0]) + 1j * np.asarray(mx[1])
+    wantj = np.asarray(el[0]) + 1j * np.asarray(el[1])
+    check("jacobi_mxu", got, wantj, 2e-3)
+
     print("online (streaming kernel) vs reference sparse golden:")
     p2 = LWS(512, 128, L=5, look_ahead=2, dtype=jnp.float32)
     got = np.asarray(p2.online_lws(golden["online_sparse_in"],
