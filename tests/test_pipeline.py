@@ -177,3 +177,19 @@ def test_silence_is_finite_and_silent():
         assert np.isfinite(out).all()
         assert (out == 0).all()
     assert np.isfinite(np.asarray(proc.istft(Z))).all()
+
+
+def test_torch_tensor_inputs_interop():
+    """PyTorch CPU tensors (the common vocoder input type) flow through the
+    public API via numpy coercion: stft on a waveform tensor, batch_lws on
+    a magnitude tensor — no explicit conversion required of the user."""
+    torch = pytest.importorskip("torch")
+    proc = LWS(512, 128)
+    t = np.arange(16000) / 16000.0
+    x = torch.tensor(0.5 * np.sin(2 * np.pi * 440 * t), dtype=torch.float32)
+    X = proc.stft(x)
+    assert X.shape[-1] == 257
+    mag = torch.abs(torch.tensor(np.asarray(X)))
+    out = np.asarray(proc.batch_lws(mag, thresholds=get_thresholds(3, 1, 0.1, 1)))
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(np.abs(out), np.abs(np.asarray(X)), atol=1e-4)
