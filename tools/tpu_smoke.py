@@ -5,6 +5,9 @@ real chip.
 
 Run directly (`python tools/tpu_smoke.py`) or via tests/test_tpu_smoke.py,
 which subprocesses it so the CPU-forcing tests/conftest.py does not apply.
+`--fuzz` additionally sweeps randomized geometries (fractional Q, Q=2..8,
+wide taps, look_ahead=0) sparse-exact against the oracle on the chip —
+the class of check that caught the Q=2 Mosaic empty-slice bug.
 
 Exit codes: 0 ok, 3 no TPU available, 1 failure.
 
@@ -173,6 +176,27 @@ def main():
     print(f"  consistency {c:.2f} dB vs reference {c_ref:.2f} dB {status}")
     if c <= c_ref - 0.8:
         failures.append("run_lws quality")
+
+    if "--fuzz" in sys.argv:
+        print("geometry fuzz (batch sparse-exact vs oracle, on chip):")
+        frng = np.random.default_rng(7)
+        geoms = [(384, 96, 3, 0), (512, 256, 7, 1), (768, 128, 5, 2),
+                 (640, 128, 4, 3), (500, 160, 5, 3), (512, 64, 5, 2),
+                 (2048, 512, 2, 1), (384, 128, 10, 4)]
+        for fsize, fshift, L, la in geoms:
+            pf = LWS(fsize, fshift, L=L, look_ahead=la, dtype=jnp.float32)
+            Ff = fsize // 2 + 1
+            mg = np.full((48, Ff), 0.5)
+            for m in range(48):
+                mg[m, 10 + (m * 3) % 7] = 2.0
+            Sf = (mg * np.exp(2j * np.pi * frng.random((48, Ff)))
+                  ).astype(np.complex128)
+            Sf[:, 0] = mg[:, 0]
+            Sf[:, -1] = mg[:, -1]
+            out = np.asarray(pf.batch_lws(Sf, thresholds=np.full(3, 2.0)))
+            wf = oracle.oracle_sweeps(Sf, pf.W, np.full(3, 2.0))
+            check(f"fuzz-{fsize}/{fshift}-L{L}-la{la}-Q{pf._Qi}", out, wf,
+                  2e-3)
 
     if failures:
         print("SMOKE FAIL:", failures)
