@@ -342,6 +342,14 @@ def write_table(rows, backend):
             f.write(f"| {r['name']} | {r['shape']} | {r['iters']} | "
                     f"{r['wall']:.3f} | {r['audio_s'] / r['wall']:.0f} | "
                     f"{cons} |\n")
+        f.write(
+            "\nSince round 4 the batch/pipeline defaults are QUALITY-FIRST "
+            "(3 in-frame re-passes at Q=4: +1.8 dB consistency for ~25% "
+            "throughput vs the round-3 single-pass numbers — at-or-above "
+            "the float64 oracle on every bench-scale signal, QUALITY.md); "
+            "`fastmode` shows the same workload under the opt-in MXU "
+            "Jacobi order, and vocoder/longform run the documented bf16 "
+            "serving storage at measured consistency parity (PERF.md).\n")
         for r in rows:
             if not r.get("latency"):
                 continue
