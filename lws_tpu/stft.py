@@ -190,15 +190,72 @@ def _consistency_jit(sr, si, awin, swin, fsize, fshift, fftsize, perfectrec):
     return 10.0 * (jnp.log10(num) - jnp.log10(den))
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _stft_chunk_jit(ys, awin, fsize, fshift, Mc, fftsize):
+    frames = frame_signal(ys, fsize, fshift, Mc) * awin.astype(ys.dtype)
+    spec = jnp.fft.rfft(frames, n=fftsize, axis=-1)
+    return jnp.real(spec), jnp.imag(spec)
+
+
+# the whole-spectrogram consistency round trip materialises (M, fftsize)
+# frame matrices several times over; past this frame count the blocked path
+# keeps peak memory bounded (a 1-hour 48 kHz / F=2049 spectrogram OOMs the
+# one-shot path on a 16 GB chip while the SWEEPS themselves run fine)
+_CONSISTENCY_BLOCK = 16384
+
+
+def _consistency_blocked(sr, si, awin, swin, fsize, fshift, fftsize,
+                         perfectrec, block=_CONSISTENCY_BLOCK):
+    """Blocked evaluation of the consistency metric for very long
+    spectrograms: OLA is linear in the frames, so the iSTFT accumulates
+    chunk-local overlap-adds into the signal, and the re-analysis error
+    norm accumulates per frame chunk — identical math to _consistency_jit
+    (same windows, same layout; only f32 addition order at chunk seams
+    differs)."""
+    M = sr.shape[-2]
+    T = fshift * (M - 1) + fsize
+    y = jnp.zeros(sr.shape[:-2] + (T,), sr.dtype)
+    for m0 in range(0, M, block):
+        m1 = min(M, m0 + block)
+        seg = _istft_jit(sr[..., m0:m1, :], si[..., m0:m1, :], swin,
+                         fshift, fftsize, False)
+        y = y.at[..., m0 * fshift:m0 * fshift + seg.shape[-1]].add(seg)
+    if perfectrec:
+        residual = fsize % fshift
+        pre = fsize - fshift if residual == 0 else fsize - residual
+        y = y[..., pre:(fshift - fsize)]
+    pre2, post2, M2 = _stft_layout(y.shape[-1], fsize, fshift, perfectrec)
+    y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(pre2, post2)])
+    num = den = 0.0
+    for m0 in range(0, min(M, M2), block):
+        m1 = min(M, M2, m0 + block)
+        ys = y[..., m0 * fshift:(m1 - 1) * fshift + fsize]
+        br, bi = _stft_chunk_jit(ys, awin, fsize, fshift, m1 - m0, fftsize)
+        src = sr[..., m0:m1, :]
+        sic = si[..., m0:m1, :]
+        dr, di = br - src, bi - sic
+        num = num + jnp.sum(src * src + sic * sic, axis=(-2, -1))
+        den = den + jnp.sum(dr * dr + di * di, axis=(-2, -1))
+    return 10.0 * (jnp.log10(num) - jnp.log10(den))
+
+
 def get_consistency_ri(sr, si, fsize, fshift, awin, swin, fftsize=None, perfectrec=False):
     """Consistency 20*log10(||S|| / ||STFT(iSTFT(S)) - S||) dB from a split pair.
 
     Batched: one dB value per leading batch element (python/lws.pyx:140-144).
-    """
+    Spectrograms longer than ~16k frames evaluate in bounded-memory blocks
+    (identical math; the one-shot round trip would materialise multi-GB
+    frame matrices)."""
     if fftsize is None:
         fftsize = 2 * (jnp.asarray(sr).shape[-1] - 1)
     swin = _prep_swin(swin, None, fshift, fftsize)
-    return _consistency_jit(jnp.asarray(sr), jnp.asarray(si), jnp.asarray(awin),
+    sr, si = jnp.asarray(sr), jnp.asarray(si)
+    if sr.shape[-2] > _CONSISTENCY_BLOCK:
+        return _consistency_blocked(sr, si, jnp.asarray(awin),
+                                    jnp.asarray(swin), int(fsize),
+                                    int(fshift), int(fftsize),
+                                    bool(perfectrec))
+    return _consistency_jit(sr, si, jnp.asarray(awin),
                             jnp.asarray(swin), int(fsize), int(fshift), int(fftsize),
                             bool(perfectrec))
 

@@ -1,9 +1,10 @@
 """STFT/iSTFT/consistency vs reference goldens + batching properties."""
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
-from lws_tpu import get_consistency, istft, stft
+from lws_tpu import LWS, get_consistency, istft, stft
 
 
 def test_stft_matches_reference(golden):
@@ -140,3 +141,28 @@ def test_frame_signal_overlap_add_roundtrip():
         cover = (np.minimum(t // fshift, M - 1)
                  - np.maximum(0, (t - fsize) // fshift + 1) + 1)
         np.testing.assert_allclose(y, x * cover, rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("perfectrec", [True, False])
+def test_blocked_consistency_matches_oneshot(perfectrec):
+    """The bounded-memory blocked consistency path (engaged automatically
+    past ~16k frames; the 1-hour longform case OOMs the one-shot round
+    trip on chip) computes the same metric: OLA linearity makes the
+    chunked iSTFT + per-chunk error accumulation exact up to f32 seam
+    addition order."""
+    from lws_tpu.stft import (_consistency_blocked, _consistency_jit,
+                              _prep_swin)
+    p = LWS(512, 128, perfectrec=perfectrec)
+    rng = np.random.default_rng(0)
+    S = (rng.standard_normal((2, 300, 257))
+         + 1j * rng.standard_normal((2, 300, 257)))
+    sr = jnp.asarray(S.real, jnp.float32)
+    si = jnp.asarray(S.imag, jnp.float32)
+    swin = _prep_swin(p.swin, None, p.fshift, p.fftsize)
+    a = _consistency_jit(sr, si, jnp.asarray(p.awin), jnp.asarray(swin),
+                         p.fsize, p.fshift, p.fftsize, perfectrec)
+    # block=77 forces several ragged chunks incl. a short tail
+    b = _consistency_blocked(sr, si, jnp.asarray(p.awin),
+                             jnp.asarray(swin), p.fsize, p.fshift,
+                             p.fftsize, perfectrec, block=77)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
