@@ -1545,9 +1545,19 @@ def segmented_lws_sweeps(
     window_carry: str = "stack",
     lane_skip: bool = False,
     tap_chunks: int = 1,
+    halo: tuple | None = None,
+    mean_amp: jnp.ndarray | None = None,
 ):
     """Batch/no-future sweeps with each utterance's time axis split into
     `segments` virtual utterances that fill the sublane pack.
+
+    `halo`: optional (top_r, top_i, bot_r, bot_i) stage-entry frames of
+    shape (B, Q-1, F) replacing the edge-replica frozen halos at the TRUE
+    boundaries — used by the processor's macro time-chunking so an interior
+    macro-chunk seam sees its real neighbours. `mean_amp`: optional (B,)
+    whole-signal mean magnitude overriding the locally computed one (the
+    reference's threshold scale is the WHOLE signal's mean,
+    python/lws.pyx:240-245 — a macro chunk must not rescale to its own).
 
     A single long spectrogram runs the tiled kernel at 1/P sublane
     utilisation (the other P-1 lanes are padding). Splitting time into S
@@ -1584,17 +1594,30 @@ def segmented_lws_sweeps(
         sr = jnp.concatenate([sr, tail], axis=1)
         si = jnp.concatenate([si, jnp.tile(si[:, -1:], (1, t_pad, 1))], axis=1)
 
-    amp_mean = jnp.mean(jnp.sqrt(sr[:, :T] ** 2 + si[:, :T] ** 2), axis=(-2, -1))
+    if mean_amp is None:
+        amp_mean = jnp.mean(jnp.sqrt(sr[:, :T] ** 2 + si[:, :T] ** 2),
+                            axis=(-2, -1))
+    else:
+        amp_mean = jnp.asarray(mean_amp).reshape(B)
     mean_seg = jnp.repeat(amp_mean, S)  # (B*S,): reference whole-signal mean
 
     seg_r = sr.reshape(B * S, Tseg, F)
     seg_i = si.reshape(B * S, Tseg, F)
 
     # frozen stage-entry halos for the true boundaries of each utterance
-    frozen_top_r = jnp.repeat(jnp.tile(sr[:, :1], (1, Q1, 1)), S, axis=0)
-    frozen_top_i = jnp.repeat(jnp.tile(si[:, :1], (1, Q1, 1)), S, axis=0)
-    frozen_bot_r = jnp.repeat(jnp.tile(sr[:, -1:], (1, Q1, 1)), S, axis=0)
-    frozen_bot_i = jnp.repeat(jnp.tile(si[:, -1:], (1, Q1, 1)), S, axis=0)
+    # (caller-provided real neighbour frames under macro chunking, edge
+    # replicas otherwise — reference edge semantics)
+    if halo is None:
+        frozen_top_r = jnp.repeat(jnp.tile(sr[:, :1], (1, Q1, 1)), S, axis=0)
+        frozen_top_i = jnp.repeat(jnp.tile(si[:, :1], (1, Q1, 1)), S, axis=0)
+        frozen_bot_r = jnp.repeat(jnp.tile(sr[:, -1:], (1, Q1, 1)), S, axis=0)
+        frozen_bot_i = jnp.repeat(jnp.tile(si[:, -1:], (1, Q1, 1)), S, axis=0)
+    else:
+        h_tr, h_ti, h_br, h_bi = halo
+        frozen_top_r = jnp.repeat(jnp.asarray(h_tr), S, axis=0)
+        frozen_top_i = jnp.repeat(jnp.asarray(h_ti), S, axis=0)
+        frozen_bot_r = jnp.repeat(jnp.asarray(h_br), S, axis=0)
+        frozen_bot_i = jnp.repeat(jnp.asarray(h_bi), S, axis=0)
     first = (jnp.arange(B * S) % S == 0)[:, None, None]
     last = (jnp.arange(B * S) % S == S - 1)[:, None, None]
 

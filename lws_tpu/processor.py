@@ -461,17 +461,81 @@ class LWS:
         # shrinks the VMEM time-tiles enough to lose the gain (PERF.md)
         return max(1, min(free, 8, T // 2048))
 
-    def _sweep_fn(self, sr, si, thresholds, tiled, seg, xla, st):
+    # macro time-chunking: beyond this frame count a single launch's slab
+    # prep exceeds HBM (the 2-hour 48 kHz longform, T=337k, measured OOM
+    # while the 1-hour T=169k fits) — process in ~150k-frame chunks with
+    # REAL-neighbour frozen halos and the whole-signal threshold scale, so
+    # a seam behaves exactly like a segmented-kernel seam with zero
+    # exchanges (quality-equivalent; gated on auto_segment)
+    # chunk sizing: at F=2049 the caller's input pair + the output pair
+    # already pin ~10 GB of the 16 GB HBM, so each chunk's launch
+    # transients (slab prep chains) must stay well under the remainder —
+    # 60k frames ≈ 4 GB transient measured headroom
+    _MACRO_T = 200_000
+    _MACRO_CHUNK = 60_000
+
+    def _macro_sweeps(self, sr, si, thresholds, tiled, seg, xla, st):
+        """Sequential macro-chunked sweeps for arbitrarily long T."""
+        shape = sr.shape
+        if sr.ndim == 2:
+            sr, si = sr[None], si[None]
+        elif sr.ndim > 3:
+            sr = sr.reshape((-1,) + shape[-2:])
+            si = si.reshape((-1,) + shape[-2:])
+        B, T, F = sr.shape
+        Q1 = self._Qi - 1
+        n = -(-T // self._MACRO_CHUNK)
+        bounds = [round(i * T / n) for i in range(n + 1)]
+        mean = jnp.mean(jnp.sqrt(sr * sr + si * si), axis=(-2, -1))
+
+        def edge_rows(x, lo, hi, edge):
+            # rows [lo, hi) clamped to [0, T), padded with the edge-frame
+            # replica where they fall outside (reference edge semantics)
+            part = x[:, max(lo, 0):min(hi, T)]
+            miss = (hi - lo) - part.shape[1]
+            if miss:
+                pad = jnp.tile(x[:, edge:edge + 1], (1, miss, 1))
+                part = (jnp.concatenate([pad, part], axis=1) if lo < 0
+                        else jnp.concatenate([part, pad], axis=1))
+            return part
+
+        outs_r, outs_i = [], []
+        for i in range(n):
+            a, b = bounds[i], bounds[i + 1]
+            halo = (edge_rows(sr, a - Q1, a, 0), edge_rows(si, a - Q1, a, 0),
+                    edge_rows(sr, b, b + Q1, T - 1),
+                    edge_rows(si, b, b + Q1, T - 1))
+            o_r, o_i = self._sweep_fn(sr[:, a:b], si[:, a:b], thresholds,
+                                      tiled, seg, xla, st, halo=halo,
+                                      mean_amp=mean)
+            outs_r.append(o_r)
+            outs_i.append(o_i)
+        osr = jnp.concatenate(outs_r, axis=1)
+        osi = jnp.concatenate(outs_i, axis=1)
+        return osr.reshape(shape), osi.reshape(shape)
+
+    def _sweep_fn(self, sr, si, thresholds, tiled, seg, xla, st,
+                  halo=None, mean_amp=None):
         """Shared batch/no-future dispatch: one `_plan_tiled` evaluation
         picks the kernel variant (segmented when the plan says the batch
         underfills the sublanes, plain tiled otherwise), with the XLA
-        fallback behind it."""
+        fallback behind it. T past _MACRO_T takes the macro-chunked path
+        (bounded HBM at any length)."""
         plan = None
         if self._pallas_base_ok() and self.pallas_micro == 1:
             plan = self._plan_tiled((sr, si))
         if self.backend == "pallas" and plan is None:
             raise ValueError("pallas backend requested but unsupported for this config")
+        if (halo is None and plan is not None and self.auto_segment
+                and sr.shape[-2] > self._MACRO_T):
+            return self._macro_sweeps(sr, si, thresholds, tiled, seg, xla,
+                                      st)
         if plan is not None:
+            extra = {}
+            if halo is not None:
+                extra["halo"] = halo
+            if mean_amp is not None:
+                extra["mean_amp"] = mean_amp
             pk, S, w = plan
             if S > 1:
                 # 10 sweeps per halo exchange: measured quality-equivalent
@@ -480,12 +544,12 @@ class LWS:
                 # already ~20% over per-sweep exchange (PERF.md)
                 fn = functools.partial(seg, segments=S,
                                        sweeps_per_exchange=10, pack=pk,
-                                       window_carry=w)
+                                       window_carry=w, **extra)
                 return self._run_flat(fn, sr, si, thresholds)
             # the time-tiled kernel streams state through VMEM, so the wide
             # pack fits regardless of T (a single tile when T is small)
             return self._run_flat(
-                functools.partial(tiled, pack=pk, window_carry=w),
+                functools.partial(tiled, pack=pk, window_carry=w, **extra),
                 sr, si, thresholds)
         return self._xla_fallback(xla, sr, si, thresholds, st=st)
 

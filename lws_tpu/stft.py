@@ -116,6 +116,13 @@ def stft_ri(x, fsize, fshift, awin, fftsize=None, perfectrec=False,
         Q = -(-int(fsize) // int(fshift))
         pad = (Q - 1) * int(fshift)
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)])
+    _, _, M = _stft_layout(x.shape[-1], int(fsize), int(fshift),
+                           bool(perfectrec))
+    if M > _LONGFORM_BLOCK:
+        # multi-hour signals: the one-shot rfft's temporaries exceed HBM
+        # (4 x 5.15 GB at M=337k); per-frame-independent chunks are exact
+        return _stft_blocked(x, jnp.asarray(awin), int(fsize), int(fshift),
+                             int(fftsize), bool(perfectrec))
     return _stft_jit(x, jnp.asarray(awin), int(fsize), int(fshift), int(fftsize),
                      bool(perfectrec))
 
@@ -167,6 +174,10 @@ def istft_ri(sr, si, fshift, swin, awin=None, fftsize=None, perfectrec=False):
     if fftsize is None:
         fftsize = fsize
     swin = _prep_swin(swin, awin, fshift, fftsize)
+    if sr.shape[-2] > _LONGFORM_BLOCK:
+        # multi-hour spectrograms: bounded-memory OLA accumulation
+        return _istft_blocked(sr, jnp.asarray(si), jnp.asarray(swin),
+                              int(fshift), int(fftsize), bool(perfectrec))
     return _istft_jit(sr, jnp.asarray(si), jnp.asarray(swin), int(fshift),
                       int(fftsize), bool(perfectrec))
 
@@ -202,17 +213,19 @@ def _stft_chunk_jit(ys, awin, fsize, fshift, Mc, fftsize):
 # keeps peak memory bounded (a 1-hour 48 kHz / F=2049 spectrogram OOMs the
 # one-shot path on a 16 GB chip while the SWEEPS themselves run fine)
 _CONSISTENCY_BLOCK = 16384
+# stft/istft alone survive larger M (one frame matrix + FFT temps, not
+# several): a 1-hour 48 kHz analysis (M=169k) fits, a 2-hour one (M=337k,
+# 4 x 5.15 GB of FFT temps) does not — auto-block past this
+_LONGFORM_BLOCK = 131072
 
 
-def _consistency_blocked(sr, si, awin, swin, fsize, fshift, fftsize,
-                         perfectrec, block=_CONSISTENCY_BLOCK):
-    """Blocked evaluation of the consistency metric for very long
-    spectrograms: OLA is linear in the frames, so the iSTFT accumulates
-    chunk-local overlap-adds into the signal, and the re-analysis error
-    norm accumulates per frame chunk — identical math to _consistency_jit
-    (same windows, same layout; only f32 addition order at chunk seams
-    differs)."""
-    M = sr.shape[-2]
+def _istft_blocked(sr, si, swin, fshift, fftsize, perfectrec,
+                   block=_CONSISTENCY_BLOCK):
+    """Bounded-memory iSTFT: OLA is linear in the frames, so chunk-local
+    overlap-adds accumulate into the signal — identical math to _istft_jit
+    up to f32 addition order at the chunk seams."""
+    M, Nreal = sr.shape[-2], sr.shape[-1]
+    fsize = 2 * (Nreal - 1)
     T = fshift * (M - 1) + fsize
     y = jnp.zeros(sr.shape[:-2] + (T,), sr.dtype)
     for m0 in range(0, M, block):
@@ -224,6 +237,40 @@ def _consistency_blocked(sr, si, awin, swin, fsize, fshift, fftsize,
         residual = fsize % fshift
         pre = fsize - fshift if residual == 0 else fsize - residual
         y = y[..., pre:(fshift - fsize)]
+    return y
+
+
+def _stft_blocked(x, awin, fsize, fshift, fftsize, perfectrec,
+                  block=_CONSISTENCY_BLOCK):
+    """Bounded-memory STFT: frames are independent, so chunks of the
+    (padded) signal analyse separately and concatenate — bit-equal to
+    _stft_jit per frame."""
+    pre, post, M = _stft_layout(x.shape[-1], fsize, fshift, perfectrec)
+    x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pre, post)])
+    outs_r, outs_i = [], []
+    for m0 in range(0, M, block):
+        m1 = min(M, m0 + block)
+        ys = x[..., m0 * fshift:(m1 - 1) * fshift + fsize]
+        br, bi = _stft_chunk_jit(ys, awin, fsize, fshift, m1 - m0, fftsize)
+        outs_r.append(br)
+        outs_i.append(bi)
+    if len(outs_r) == 1:
+        return outs_r[0], outs_i[0]
+    return (jnp.concatenate(outs_r, axis=-2),
+            jnp.concatenate(outs_i, axis=-2))
+
+
+def _consistency_blocked(sr, si, awin, swin, fsize, fshift, fftsize,
+                         perfectrec, block=_CONSISTENCY_BLOCK):
+    """Blocked evaluation of the consistency metric for very long
+    spectrograms: OLA is linear in the frames, so the iSTFT accumulates
+    chunk-local overlap-adds into the signal, and the re-analysis error
+    norm accumulates per frame chunk — identical math to _consistency_jit
+    (same windows, same layout; only f32 addition order at chunk seams
+    differs)."""
+    M = sr.shape[-2]
+    y = _istft_blocked(sr, si, swin, fshift, fftsize, perfectrec,
+                       block=block)
     pre2, post2, M2 = _stft_layout(y.shape[-1], fsize, fshift, perfectrec)
     y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(pre2, post2)])
     num = den = 0.0
