@@ -140,7 +140,14 @@ def _istft_jit(sr, si, swin, fshift, fftsize, perfectrec):
     M, Nreal = sr.shape[-2], sr.shape[-1]
     fsize = 2 * (Nreal - 1)
     spec = sr + 1j * si  # complex lives only inside the jit body
-    frames = jnp.fft.irfft(spec, n=fftsize, axis=-1)[..., :fsize]
+    # flatten leading dims for the irfft: the TPU backend's batched irfft
+    # SILENTLY corrupts rank>=3 inputs once the second-to-last dim exceeds
+    # 16384 (measured: (1, 16500, 2049) differs from the identical 2-D
+    # transform by up to 0.048 while rfft is unaffected; CPU agrees with
+    # the 2-D result). The rank-2 reshape is exact and free.
+    flat = spec.reshape((-1, spec.shape[-1]))
+    frames = jnp.fft.irfft(flat, n=fftsize, axis=-1)
+    frames = frames.reshape(spec.shape[:-1] + (fftsize,))[..., :fsize]
     frames = frames * swin[:fsize].astype(sr.dtype)
 
     T = fshift * (M - 1) + fsize
