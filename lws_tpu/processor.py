@@ -471,7 +471,10 @@ class LWS:
     # already pin ~10 GB of the 16 GB HBM, so each chunk's launch
     # transients (slab prep chains) must stay well under the remainder —
     # 60k frames ≈ 4 GB transient measured headroom
-    _MACRO_T = 200_000
+    # threshold: a 1-hour/F=2049 single shot (T=169k) fits only when the
+    # caller holds nothing else — macro-chunk from 150k so real pipelines
+    # (input + output + user buffers live) keep HBM headroom
+    _MACRO_T = 150_000
     _MACRO_CHUNK = 60_000
 
     def _macro_sweeps(self, sr, si, thresholds, tiled, seg, xla, st):
