@@ -47,7 +47,10 @@ def lws_sweeps(
         return sr, si
     Q, L = st.Q, st.L
     T = sr.shape[-2]
-    amp = jnp.sqrt(sr * sr + si * si)
+    # grad-safe magnitude: zero bins (silence / padding) would otherwise
+    # put d(sqrt)/dx|_0 = inf on the backward path; forward bit-identical
+    sq = sr * sr + si * si
+    amp = jnp.where(sq > 0, jnp.sqrt(jnp.where(sq > 0, sq, 1)), 0)
     mean_amp = jnp.mean(amp, axis=(-2, -1), keepdims=True)
 
     xr0, xi0 = freq_extend(sr, si, L)

@@ -48,7 +48,10 @@ def rtisi_la(
     T = sr.shape[-2]
     F = st_af.n_bins
 
-    amp = jnp.sqrt(sr * sr + si * si)
+    # grad-safe magnitude (see core/batch.py): forward bit-identical,
+    # backward finite at zero bins
+    sq = sr * sr + si * si
+    amp = jnp.where(sq > 0, jnp.sqrt(jnp.where(sq > 0, sq, 1)), 0)
     mean_amp = jnp.mean(amp, axis=(-2, -1), keepdims=True)
     thr_sched = thresholds.astype(amp.dtype)
 

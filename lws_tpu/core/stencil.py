@@ -156,9 +156,15 @@ def phase_update(tr, ti, amp, old_r, old_i, thr) -> RI:
     Mirrors lwslib.cpp:84-85 (threshold test, strict >) and 133-137 (keep the
     old value when the weighted sum is exactly zero).
     """
-    a = jnp.sqrt(tr * tr + ti * ti)
-    scale = amp / jnp.where(a > 0, a, 1)
-    cond = (amp > thr) & (a > 0)
+    sq = tr * tr + ti * ti
+    # sqrt's operand is kept away from 0 (and the division away from /0)
+    # through `where`, so jax.grad never sees d(sqrt)/dx at x=0: the whole
+    # sweep is differentiable. Forward values are bit-identical to the
+    # unguarded form (sq > 0 iff sqrt(sq) > 0; the masked branch divides
+    # by 1 exactly as before).
+    a = jnp.sqrt(jnp.where(sq > 0, sq, 1))
+    scale = amp / a
+    cond = (amp > thr) & (sq > 0)
     return jnp.where(cond, tr * scale, old_r), jnp.where(cond, ti * scale, old_i)
 
 
