@@ -16,6 +16,12 @@ matlab/run_lws.m:48-55 / python/lws.pyx:379-383):
               (raw samples in, committed audio out, one dispatch per block)
   7 fastmode  config 1's workload under order="jacobi_mxu" (whole-grid
               Jacobi sweeps as banded MXU matmuls, -0.4 dB vs exact GS)
+  8 batch_hq  config 1's workload at the library defaults (quality-first
+              in-frame re-passes; at-or-above the float64 oracle)
+
+The "batch" headline row runs inner_passes=1 — the reference-iteration-
+parity serving mode, comparable with every prior round's headline;
+batch_hq shows what the quality-first library default costs/buys.
 
 Prints ONE JSON line on stdout: the headline metric (config 1, the
 BASELINE.md 100x-real-time north-star) plus a "configs" object holding the
@@ -105,11 +111,15 @@ def bench_batch(on_tpu):
     B, secs, iters = (32, 5.0, 100) if on_tpu else (2, 5.0, 10)
     rng = np.random.default_rng(0)
     x = make_batch(B, int(secs * 16000), 16000, rng)
-    # serving mode: full frame unroll + rows carry is bit-identical to the
-    # default kernel and ~34% faster at a one-time ~3 min compile
-    # (tools/unroll_verify.py, PERF.md) — the right trade for the
-    # steady-state metric this harness reports
-    proc = (LWS(512, 128, pallas_unroll=-1, pallas_window="rows")
+    # serving mode at reference iteration parity: inner_passes=1 is the
+    # round-1..3-comparable single-pass sweep (the quality-first ip3
+    # default is the separate batch_hq row), and rows+full-unroll is the
+    # fastest mode on the bench mixture class (949 vs direct-p32's 792
+    # audio-s/s, tools/headline_ab.py — the direct numbers that beat it in
+    # the round-4 probes were dense-class, PERF.md) at a one-time ~3 min
+    # compile
+    proc = (LWS(512, 128, inner_passes=1, pallas_unroll=-1,
+                pallas_window="rows")
             if on_tpu else LWS(512, 128))
     sr, si = proc.stft_ri(x)
     amp = jnp.sqrt(sr * sr + si * si)
@@ -128,9 +138,9 @@ def bench_pipeline(on_tpu):
     B, secs = (32, 5.0) if on_tpu else (2, 2.0)
     rng = np.random.default_rng(1)
     x = make_batch(B, int(secs * 16000), 16000, rng)
-    # serving mode (pallas_unroll) as in bench_batch: +21% here, identical
-    # consistency — the online stage dilutes the batch kernel's +34%
-    proc = (LWS(1024, 256, mode="music", pallas_unroll=-1,
+    # serving mode (inner_passes=1, rows+unroll) as in bench_batch; the
+    # online stage dilutes the batch kernel's gain here
+    proc = (LWS(1024, 256, mode="music", inner_passes=1, pallas_unroll=-1,
                 pallas_window="rows") if on_tpu else
             LWS(1024, 256, mode="music", batch_iterations=10,
                 online_iterations=3))
@@ -310,6 +320,27 @@ def bench_fastmode(on_tpu):
                 shape=tuple(amp.shape), cons=(c0, c1))
 
 
+def bench_batch_hq(on_tpu):
+    """Config 1's workload at the LIBRARY defaults — the quality-first
+    mode (3 in-frame re-passes at Q=4, at-or-above the float64 oracle on
+    every bench-scale signal, QUALITY.md) a plain LWS(512, 128) runs."""
+    import jax.numpy as jnp
+    from lws_tpu import LWS, get_thresholds
+    B, secs, iters = (32, 5.0, 100) if on_tpu else (2, 5.0, 10)
+    rng = np.random.default_rng(0)
+    x = make_batch(B, int(secs * 16000), 16000, rng)
+    proc = LWS(512, 128)
+    sr, si = proc.stft_ri(x)
+    amp = jnp.sqrt(sr * sr + si * si)
+    pair = (amp, jnp.zeros_like(amp))
+    thr = jnp.asarray(get_thresholds(iters, 100, 0.1, 1), dtype=proc.rdtype)
+    out, wall = _timed(proc._batch_fn, *pair, thresholds=thr)
+    c0 = float(np.asarray(proc.get_consistency(pair)).mean())
+    c1 = float(np.asarray(proc.get_consistency(out)).mean())
+    return dict(name="batch_hq", audio_s=B * secs, wall=wall, iters=iters,
+                shape=tuple(amp.shape), cons=(c0, c1))
+
+
 BENCHES = {
     1: bench_batch,
     2: bench_pipeline,
@@ -318,6 +349,7 @@ BENCHES = {
     5: bench_longform,
     6: bench_streaming,
     7: bench_fastmode,
+    8: bench_batch_hq,
 }
 
 
@@ -343,13 +375,16 @@ def write_table(rows, backend):
                     f"{r['wall']:.3f} | {r['audio_s'] / r['wall']:.0f} | "
                     f"{cons} |\n")
         f.write(
-            "\nSince round 4 the batch/pipeline defaults are QUALITY-FIRST "
+            "\n`batch`/`pipeline` run the serving mode at reference "
+            "iteration parity (`inner_passes=1`, direct auto-plan — "
+            "comparable with every prior round's headline); `batch_hq` is "
+            "the same workload at the QUALITY-FIRST library defaults "
             "(3 in-frame re-passes at Q=4: +1.8 dB consistency for ~25% "
-            "throughput vs the round-3 single-pass numbers — at-or-above "
-            "the float64 oracle on every bench-scale signal, QUALITY.md); "
-            "`fastmode` shows the same workload under the opt-in MXU "
-            "Jacobi order, and vocoder/longform run the documented bf16 "
-            "serving storage at measured consistency parity (PERF.md).\n")
+            "throughput, at-or-above the float64 oracle on every "
+            "bench-scale signal, QUALITY.md). `fastmode` shows the same "
+            "workload under the opt-in MXU Jacobi order, and "
+            "vocoder/longform run the documented bf16 serving storage at "
+            "measured consistency parity (PERF.md).\n")
         for r in rows:
             if not r.get("latency"):
                 continue
@@ -412,7 +447,7 @@ def _stale_fallback(config=0):
     except OSError:
         pass
     names = {1: "batch", 2: "pipeline", 3: "online", 4: "vocoder",
-             5: "longform", 6: "streaming", 7: "fastmode"}
+             5: "longform", 6: "streaming", 7: "fastmode", 8: "batch_hq"}
     head = names.get(config, "batch")
     value = configs.get(head)
     is_headline = head == "batch"
@@ -434,8 +469,8 @@ def _stale_fallback(config=0):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", type=int, default=0, choices=range(0, 8),
-                    help="run one config (1-6); default all")
+    ap.add_argument("--config", type=int, default=0, choices=range(0, 9),
+                    help="run one config (1-8); default all")
     ap.add_argument("--no-write", action="store_true",
                     help="skip regenerating BENCHMARKS.md")
     args = ap.parse_args()
