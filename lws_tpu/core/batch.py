@@ -18,6 +18,7 @@ from .stencil import (
     freq_extend,
     make_time_halos,
     phase_update,
+    safe_sqrt,
     time_extend,
     update_frame,
 )
@@ -47,10 +48,9 @@ def lws_sweeps(
         return sr, si
     Q, L = st.Q, st.L
     T = sr.shape[-2]
-    # grad-safe magnitude: zero bins (silence / padding) would otherwise
-    # put d(sqrt)/dx|_0 = inf on the backward path; forward bit-identical
-    sq = sr * sr + si * si
-    amp = jnp.where(sq > 0, jnp.sqrt(jnp.where(sq > 0, sq, 1)), 0)
+    # safe_sqrt: zero bins (silence / padding) would otherwise put
+    # d(sqrt)/dx|_0 = inf on the backward path; forward is plain jnp.sqrt
+    amp = safe_sqrt(sr * sr + si * si)
     mean_amp = jnp.mean(amp, axis=(-2, -1), keepdims=True)
 
     xr0, xi0 = freq_extend(sr, si, L)

@@ -26,7 +26,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
-from .stencil import Stencil, freq_extend, make_time_halos, time_extend, update_frame
+from .stencil import (Stencil, freq_extend, make_time_halos, safe_sqrt,
+                      time_extend, update_frame)
 
 
 def rtisi_la(
@@ -48,10 +49,9 @@ def rtisi_la(
     T = sr.shape[-2]
     F = st_af.n_bins
 
-    # grad-safe magnitude (see core/batch.py): forward bit-identical,
-    # backward finite at zero bins
-    sq = sr * sr + si * si
-    amp = jnp.where(sq > 0, jnp.sqrt(jnp.where(sq > 0, sq, 1)), 0)
+    # safe_sqrt (core/stencil.py): forward is plain jnp.sqrt, backward
+    # finite at zero bins
+    amp = safe_sqrt(sr * sr + si * si)
     mean_amp = jnp.mean(amp, axis=(-2, -1), keepdims=True)
     thr_sched = thresholds.astype(amp.dtype)
 

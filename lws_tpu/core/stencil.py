@@ -37,11 +37,35 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
 # A split-complex spectrogram: pair of identically-shaped real arrays.
 RI = tuple  # (sr, si)
+
+
+@jax.custom_jvp
+def safe_sqrt(x):
+    """`jnp.sqrt` with a finite derivative at exactly 0.
+
+    The primal is literally `jnp.sqrt(x)` — same HLO, bit-identical forward
+    (guarding the operand with `where` instead was measured to perturb XLA's
+    f32 fusion choices by ulps, which sweeps amplify). Only the JVP is
+    guarded: d(sqrt)/dx at 0 is +inf, which would propagate NaN through the
+    phase update's masked branches under `jax.grad`; here the tangent is 0
+    at x == 0 (magnitudes/zero-sum bins hold their value there, so a zero
+    subgradient is the correct choice)."""
+    return jnp.sqrt(x)
+
+
+@safe_sqrt.defjvp
+def _safe_sqrt_jvp(primals, tangents):
+    (x,), (xdot,) = primals, tangents
+    y = jnp.sqrt(x)
+    pos = x > 0
+    return y, jnp.where(pos, xdot / (2 * jnp.where(pos, y, 1)),
+                        jnp.zeros_like(y))
 
 
 @dataclass(frozen=True)
@@ -156,15 +180,9 @@ def phase_update(tr, ti, amp, old_r, old_i, thr) -> RI:
     Mirrors lwslib.cpp:84-85 (threshold test, strict >) and 133-137 (keep the
     old value when the weighted sum is exactly zero).
     """
-    sq = tr * tr + ti * ti
-    # sqrt's operand is kept away from 0 (and the division away from /0)
-    # through `where`, so jax.grad never sees d(sqrt)/dx at x=0: the whole
-    # sweep is differentiable. Forward values are bit-identical to the
-    # unguarded form (sq > 0 iff sqrt(sq) > 0; the masked branch divides
-    # by 1 exactly as before).
-    a = jnp.sqrt(jnp.where(sq > 0, sq, 1))
-    scale = amp / a
-    cond = (amp > thr) & (sq > 0)
+    a = safe_sqrt(tr * tr + ti * ti)
+    scale = amp / jnp.where(a > 0, a, 1)
+    cond = (amp > thr) & (a > 0)
     return jnp.where(cond, tr * scale, old_r), jnp.where(cond, ti * scale, old_i)
 
 
