@@ -376,8 +376,8 @@ def write_table(rows, backend):
                     f"{cons} |\n")
         f.write(
             "\n`batch`/`pipeline` run the serving mode at reference "
-            "iteration parity (`inner_passes=1`, direct auto-plan — "
-            "comparable with every prior round's headline); `batch_hq` is "
+            "iteration parity (`inner_passes=1`, rows + full frame unroll "
+            "— comparable with every prior round's headline); `batch_hq` is "
             "the same workload at the QUALITY-FIRST library defaults "
             "(3 in-frame re-passes at Q=4: +1.8 dB consistency for ~25% "
             "throughput, at-or-above the float64 oracle on every "
