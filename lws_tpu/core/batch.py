@@ -33,6 +33,8 @@ def lws_sweeps(
     inner_passes: int = 1,
     inner_scheme: str = "jacobi",
     precision=None,
+    halo: tuple | None = None,
+    mean_amp: jnp.ndarray | None = None,
 ):
     """Run len(thresholds) LWS sweeps over (sr, si) of shape (..., T, F).
 
@@ -43,6 +45,12 @@ def lws_sweeps(
     (whole-grid parallel sweeps), or "jacobi_mxu" (the same Jacobi sweeps
     with the frequency taps cast as banded matmuls so the MXU does the
     FLOPs — apply_stencil_mxu; `precision` sets the matmul precision).
+
+    `halo` is (top_r, top_i, bot_r, bot_i) of shape (..., Q-1, F): explicit
+    frozen time-halo frames used instead of the default edge replicas, and
+    `mean_amp` (...,) overrides the locally computed mean magnitude — the
+    same contract as the Pallas kernels (ops/pallas_packed.py), used by the
+    time-sharded and macro-chunked paths.
     """
     if thresholds.shape[0] == 0:
         return sr, si
@@ -51,11 +59,18 @@ def lws_sweeps(
     # safe_sqrt: zero bins (silence / padding) would otherwise put
     # d(sqrt)/dx|_0 = inf on the backward path; forward is plain jnp.sqrt
     amp = safe_sqrt(sr * sr + si * si)
-    mean_amp = jnp.mean(amp, axis=(-2, -1), keepdims=True)
+    if mean_amp is None:
+        mean_amp = jnp.mean(amp, axis=(-2, -1), keepdims=True)
+    else:
+        mean_amp = mean_amp[..., None, None].astype(amp.dtype)
 
     xr0, xi0 = freq_extend(sr, si, L)
-    top_r, bot_r = make_time_halos(xr0, Q)
-    top_i, bot_i = make_time_halos(xi0, Q)
+    if halo is None:
+        top_r, bot_r = make_time_halos(xr0, Q)
+        top_i, bot_i = make_time_halos(xi0, Q)
+    else:
+        top_r, top_i = freq_extend(halo[0], halo[1], L)
+        bot_r, bot_i = freq_extend(halo[2], halo[3], L)
 
     if order in ("jacobi", "jacobi_mxu"):
         mxu = order == "jacobi_mxu"

@@ -50,6 +50,14 @@ def _get_lib():
 
 
 def available() -> bool:
+    """Whether the trusted-scalar oracle can run here (g++ at runtime).
+
+    Differential tests SKIP when this is False — a clean install without a
+    compiler silently loses that coverage, so surface it: set
+    LWS_TPU_DISABLE_ORACLE=1 to exercise/validate the skip path
+    deliberately (tools/ci.sh wheel-install smoke)."""
+    if os.environ.get("LWS_TPU_DISABLE_ORACLE"):
+        return False
     try:
         _get_lib()
         return True

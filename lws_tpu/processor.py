@@ -140,6 +140,17 @@ class LWS:
         # order holds up to ~17-19 dB consistency; "highest" recovers it
         # exactly at ~2.6x the MXU work (PERF.md). Ignored by other orders.
         self.precision = precision
+        if order == "jacobi_mxu" and precision is None:
+            # measured quality floor (PERF.md round-4 levers): at the
+            # backend-default bf16-pass matmul precision a pure tone floors
+            # out at 19.74 dB where the elementwise Jacobi order reaches
+            # 23.67; precision="highest" recovers it exactly at ~2.6x cost
+            warnings.warn(
+                "lws_tpu: order='jacobi_mxu' at the backend-default matmul "
+                "precision floors achievable consistency near ~19 dB on "
+                "high-consistency material (PERF.md); pass "
+                "precision='highest' to recover elementwise-Jacobi-exact "
+                "results at ~2.6x the MXU cost")
         self._inner_passes_arg = inner_passes  # resolved after Q is known
         self.inner_scheme = inner_scheme  # resolved after Q is known
         self.backend = backend
@@ -161,6 +172,17 @@ class LWS:
         # stays f32); e.g. LWS(..., pallas_storage="bfloat16")
         self.pallas_storage = (jnp.dtype(pallas_storage)
                                if pallas_storage is not None else None)
+        if self.pallas_storage == jnp.dtype(jnp.bfloat16):
+            # measured quality ceiling (PERF.md round-4 levers): a 3 s tone
+            # recovers 30.2 dB at f32 storage but only 22.3 dB at bf16 — the
+            # knob is consistency-parity ONLY where the f32 result already
+            # saturates below ~22 dB (the HBM-bound vocoder/longform classes)
+            warnings.warn(
+                "lws_tpu: pallas_storage='bfloat16' caps achievable "
+                "consistency near ~22 dB (a signal that recovers 30 dB at "
+                "f32 storage stops at ~22 dB, PERF.md); use it only where "
+                "the f32 result already saturates below that — keep the "
+                "default f32 storage for clean/high-consistency material")
         # Mosaic frame-loop unroll hint for the batch/no-future sweep
         # kernels (bit-neutral: identical output at any level). >1 lets the
         # compiler turn the per-frame register-window shift into register
@@ -416,7 +438,8 @@ class LWS:
         return online_supported(F, self._Qi, self.L, self.look_ahead,
                                 self._online_pack)
 
-    def _xla_fallback(self, fn, sr, si, thresholds, st=None):
+    def _xla_fallback(self, fn, sr, si, thresholds, st=None, halo=None,
+                      mean_amp=None):
         """On TPU, the frame-sequential XLA scan compiles pathologically; when
         the Pallas kernels do not apply (e.g. Q > 9) and the user did not
         explicitly ask for the XLA backend, fall back to Jacobi sweeps with a
@@ -430,8 +453,12 @@ class LWS:
                 and self.backend != "xla"):
             warnings.warn(
                 "lws_tpu: the Pallas kernels do not support this configuration; "
-                "using Jacobi-order sweeps on TPU (pass backend='xla' to force "
-                "the frame-sequential scan, or run off-TPU for the exact order)")
+                "using Jacobi-order sweeps on TPU. Expect consistency within "
+                "~1.5 dB of the exact Gauss-Seidel order at equal iteration "
+                "counts (above or below depending on material — QUALITY.md; "
+                "tests/test_oracle.py pins a Q=32 geometry within 1.5 dB of "
+                "the float64 oracle). Pass backend='xla' to force the exact "
+                "frame-sequential scan, or run off-TPU for the exact order.")
             F = sr.shape[-1]
             if F <= 1100:
                 jfn = jax.jit(functools.partial(
@@ -440,8 +467,13 @@ class LWS:
             else:
                 jfn = jax.jit(functools.partial(lws_sweeps, st=st,
                                                 order="jacobi"))
-            return jfn(sr, si, thresholds=thresholds)
-        return fn(sr, si, thresholds=thresholds)
+            fn = jfn
+        kw = {}
+        if halo is not None:
+            kw["halo"] = halo
+        if mean_amp is not None:
+            kw["mean_amp"] = mean_amp
+        return fn(sr, si, thresholds=thresholds, **kw)
 
     def _auto_segments(self, B, T, pack=None):
         """Time segments for long, sublane-underfilled workloads.
@@ -524,15 +556,18 @@ class LWS:
         underfills the sublanes, plain tiled otherwise), with the XLA
         fallback behind it. T past _MACRO_T takes the macro-chunked path
         (bounded HBM at any length)."""
+        if (halo is None and self.auto_segment
+                and sr.shape[-2] > self._MACRO_T):
+            # any backend: the XLA paths honour the frozen-halo/mean
+            # contract too (core/batch.lws_sweeps), so macro chunking keeps
+            # HBM bounded wherever the sweeps run
+            return self._macro_sweeps(sr, si, thresholds, tiled, seg, xla,
+                                      st)
         plan = None
         if self._pallas_base_ok() and self.pallas_micro == 1:
             plan = self._plan_tiled((sr, si))
         if self.backend == "pallas" and plan is None:
             raise ValueError("pallas backend requested but unsupported for this config")
-        if (halo is None and plan is not None and self.auto_segment
-                and sr.shape[-2] > self._MACRO_T):
-            return self._macro_sweeps(sr, si, thresholds, tiled, seg, xla,
-                                      st)
         if plan is not None:
             extra = {}
             if halo is not None:
@@ -554,7 +589,8 @@ class LWS:
             return self._run_flat(
                 functools.partial(tiled, pack=pk, window_carry=w, **extra),
                 sr, si, thresholds)
-        return self._xla_fallback(xla, sr, si, thresholds, st=st)
+        return self._xla_fallback(xla, sr, si, thresholds, st=st, halo=halo,
+                                  mean_amp=mean_amp)
 
     def _batch_fn(self, sr, si, thresholds):
         return self._sweep_fn(sr, si, thresholds, self._batch_tiled,

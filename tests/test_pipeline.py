@@ -193,3 +193,35 @@ def test_torch_tensor_inputs_interop():
     out = np.asarray(proc.batch_lws(mag, thresholds=get_thresholds(3, 1, 0.1, 1)))
     assert np.isfinite(out).all()
     np.testing.assert_allclose(np.abs(out), np.abs(np.asarray(X)), atol=1e-4)
+
+
+def test_macro_chunk_equivalence_full_schedule():
+    """End-to-end macro time-chunking numerics (processor._macro_sweeps):
+    chunked vs unchunked batch output at the FULL 100-iteration schedule,
+    bench-scale T, float64. The chunk seams use REAL-neighbour frozen halos
+    plus the whole-signal threshold scale, so a seam behaves like a
+    segmented-kernel seam with zero exchanges — measured Δ0.005 dB on the
+    on-chip 2-hour run (PERF.md); this pins the same equivalence on the CPU
+    XLA path where it runs in CI."""
+    p = LWS(512, 128, dtype=jnp.float64)
+    rng = np.random.default_rng(9)
+    t = np.arange(80000) / 16000.0
+    x = (0.5 * np.sin(2 * np.pi * 240 * t)
+         + 0.3 * np.sin(2 * np.pi * 1128 * t)
+         + 0.2 * np.sin(2 * np.pi * (300 + 3000 * t / t[-1]) * t)
+         + 0.05 * rng.standard_normal(t.size))
+    A = np.abs(np.asarray(p.stft(x))).astype(np.complex128)
+    assert A.shape[0] > 600  # bench-scale frame count
+    thr = get_thresholds(100, 100, 0.1, 1)
+    out_full = np.asarray(p.batch_lws(A, thresholds=thr))
+
+    # chunk at CPU scale: 3 chunks of ~210 frames (the on-chip ratio class)
+    p._MACRO_T = 256
+    p._MACRO_CHUNK = 256
+    out_chunk = np.asarray(p.batch_lws(A, thresholds=thr))
+    c_f = float(np.asarray(p.get_consistency(out_full)))
+    c_c = float(np.asarray(p.get_consistency(out_chunk)))
+    # measured 0.008 dB here (matching the on-chip 0.005 dB, PERF.md)
+    assert abs(c_f - c_c) < 0.02, (c_f, c_c)
+    # magnitudes are exactly preserved through the chunked path too
+    np.testing.assert_allclose(np.abs(out_chunk), np.abs(A), atol=1e-8)

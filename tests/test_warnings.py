@@ -45,3 +45,27 @@ def test_asymmetric_window_silent_without_simplifications():
 def test_direct_with_tap_chunks_rejected():
     with pytest.raises(ValueError, match="tap_chunks"):
         LWS(512, 128, pallas_window="direct", pallas_tap_chunks=2)
+
+
+def test_bf16_storage_warns_quality_ceiling():
+    # PERF.md: bf16 state storage caps achievable consistency near ~22 dB
+    with pytest.warns(UserWarning, match="22 dB"):
+        LWS(512, 128, pallas_storage="bfloat16")
+
+
+def test_f32_storage_does_not_warn():
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        LWS(512, 128, pallas_storage="float32")
+
+
+def test_jacobi_mxu_default_precision_warns_quality_floor():
+    # PERF.md: default (bf16-pass) matmul precision floors out ~19 dB
+    with pytest.warns(UserWarning, match="19 dB"):
+        LWS(512, 128, order="jacobi_mxu")
+
+
+def test_jacobi_mxu_highest_precision_does_not_warn():
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        LWS(512, 128, order="jacobi_mxu", precision="highest")

@@ -33,7 +33,11 @@ def main():
         "stack-p16-ip1": dict(inner_passes=1, pallas_window="stack",
                               pallas_pack=16),
     }
-    for name in (sys.argv[1:] or cases):
+    names = sys.argv[1:] or list(cases)
+    unknown = [n for n in names if n not in cases]
+    if unknown:
+        sys.exit(f"unknown case(s) {unknown}; available: {sorted(cases)}")
+    for name in names:
         kw = cases[name]
         proc = LWS(512, 128, **kw)
         sr, si = proc.stft_ri(x)
