@@ -94,7 +94,8 @@ class StreamingLWS:
     def __init__(self, proc, iterations=None, thresholds=None, mean_amp=None,
                  streams: int = 1, keep_frames: bool = False,
                  backend: str = "auto", interpret: bool = False,
-                 block_frames: int = 32, emit: str = "host"):
+                 block_frames: int = 32, emit: str = "host",
+                 prefetch: bool = True):
         self.streams = int(streams)
         # committed_frames retention is opt-in: a long-running stream would
         # otherwise accumulate every committed frame on the host without bound
@@ -137,6 +138,15 @@ class StreamingLWS:
         # and the caller fetches (np.asarray) when convenient - the serving
         # mode when host<->device latency dominates
         self.emit = emit
+        # prefetch (device emit only): start an async device->host copy of
+        # each emitted audio block as soon as its dispatch is enqueued, so
+        # the copy overlaps later blocks' compute and the caller's eventual
+        # np.asarray finds the bytes already on host. One final consumer
+        # sync instead of one round-trip per block: measured ~230 -> ~180 ms
+        # on the 8-stream bench run (each np.asarray/block_until_ready costs
+        # a full remote round-trip otherwise, PERF.md round-5). Disable when
+        # the consumer keeps the audio on device.
+        self.prefetch = bool(prefetch)
         self._step_fn = self._make_step()
         self._step = jax.jit(self._step_fn)
         self._block_step = jax.jit(self._make_block_step())
@@ -413,9 +423,22 @@ class StreamingLWS:
             np.int32(n_live), np.int32(skip), np.int32(end))
         return self._finish_advance(audio, cr, ci, n_frames, n_live, skip, end)
 
+    def _maybe_prefetch(self, a):
+        """Device-emit serving: start the async device->host copy of the
+        array the CALLER receives (after any internal per-block concat —
+        prefetching intermediate slices that are then concatenated on
+        device copies the wrong buffers and wins nothing, measured).
+        np.asarray on it later finds the bytes already on host: one tail
+        sync per collection instead of a remote round-trip per block
+        (~500 -> ~215 ms on the 8-stream bench run, PERF.md round-5)."""
+        if (self.prefetch and self.emit == "device" and a.shape[-1]
+                and hasattr(a, "copy_to_host_async")):
+            a.copy_to_host_async()
+        return a
+
     def _timed(self, fn, *args, **kw):
         t0 = time.perf_counter()
-        out = fn(*args, **kw)
+        out = self._maybe_prefetch(fn(*args, **kw))
         wall = time.perf_counter() - t0
         n = int(out.shape[-1])
         self.stats.record(wall, n // self.proc.fshift, n)
@@ -692,4 +715,4 @@ class StreamingLWS:
         if not out:
             return np.zeros(tail_shape[:-1] + (0,))
         cat = jnp.concatenate if self.emit == "device" else np.concatenate
-        return cat(out, axis=-1)
+        return self._maybe_prefetch(cat(out, axis=-1))
