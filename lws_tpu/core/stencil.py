@@ -179,10 +179,18 @@ def phase_update(tr, ti, amp, old_r, old_i, thr) -> RI:
 
     Mirrors lwslib.cpp:84-85 (threshold test, strict >) and 133-137 (keep the
     old value when the weighted sum is exactly zero).
-    """
-    a = safe_sqrt(tr * tr + ti * ti)
-    scale = amp / jnp.where(a > 0, a, 1)
-    cond = (amp > thr) & (a > 0)
+
+    The scale is computed as `amp * rsqrt(|temp|^2)` rather than
+    `amp / sqrt(|temp|^2)`: one fast reciprocal-root op instead of a root
+    plus a multi-pass divide on the sweep's serial epilogue path — +7%
+    measured on the serving kernel at identical consistency (PERF.md
+    round-5 levers). `a2 > 0` iff `sqrt(a2) > 0`, so the keep-old guard is
+    unchanged; the `where` guard keeps rsqrt finite at exactly-zero sums
+    (and zeroes their gradient — the masked branch holds the old value, so
+    a zero subgradient is correct, same contract as safe_sqrt)."""
+    a2 = tr * tr + ti * ti
+    scale = amp * lax.rsqrt(jnp.where(a2 > 0, a2, 1))
+    cond = (amp > thr) & (a2 > 0)
     return jnp.where(cond, tr * scale, old_r), jnp.where(cond, ti * scale, old_i)
 
 

@@ -21,6 +21,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -190,9 +191,9 @@ def _color_rounds(tr, ti, row_er, row_ei, amp_m, thr, scheme,
                 cr += wr * br - wi * bi
                 ci += wr * bi + wi * br
             fr, fi = tr + cr, ti + ci
-            a = jnp.sqrt(fr * fr + fi * fi)
-            scale = amp_m / jnp.where(a > 0, a, 1)
-            cond = (amp_m > thr) & (a > 0) & (parity == color)
+            a2 = fr * fr + fi * fi
+            scale = amp_m * jax.lax.rsqrt(jnp.where(a2 > 0, a2, 1))
+            cond = (amp_m > thr) & (a2 > 0) & (parity == color)
             if extra_cond is not None:
                 cond = cond & extra_cond
             cur_r = jnp.where(cond, fr * scale, cur_r)
@@ -290,9 +291,9 @@ def _window_sweep(xr, xi, am, wr_ref, wi_ref, nz, thr, *, Q, L, F, P, T_loop,
                 cr = cr + (wr * cr_rows[..., dk:dk + F] - wi * ci_rows[..., dk:dk + F])
                 ci = ci + (wr * ci_rows[..., dk:dk + F] + wi * cr_rows[..., dk:dk + F])
             fr, fi = tr + cr, ti + ci
-            a = jnp.sqrt(fr * fr + fi * fi)
-            scale = amp_m / jnp.where(a > 0, a, 1)
-            cond = (amp_m > thr) & (a > 0)
+            a2 = fr * fr + fi * fi
+            scale = amp_m * jax.lax.rsqrt(jnp.where(a2 > 0, a2, 1))
+            cond = (amp_m > thr) & (a2 > 0)
             if valid is not None:
                 cond = cond & valid
             new_r = jnp.where(cond, fr * scale, old_r)
@@ -350,9 +351,9 @@ def _window_sweep(xr, xi, am, wr_ref, wi_ref, nz, thr, *, Q, L, F, P, T_loop,
                                              valid)
                 er, ei = _freq_halo(new_r, new_i, F, L)
             else:
-                a = jnp.sqrt(tr * tr + ti * ti)
-                scale = amp_m / jnp.where(a > 0, a, 1)
-                cond = (amp_m > thr) & (a > 0)
+                a2 = tr * tr + ti * ti
+                scale = amp_m * jax.lax.rsqrt(jnp.where(a2 > 0, a2, 1))
+                cond = (amp_m > thr) & (a2 > 0)
                 if valid is not None:
                     cond = cond & valid
                 new_r = jnp.where(cond, tr * scale, cen_r[..., L:L + F])
@@ -434,9 +435,9 @@ def _window_sweep(xr, xi, am, wr_ref, wi_ref, nz, thr, *, Q, L, F, P, T_loop,
                             bi = ri[..., dk + f0:dk + f0 + fw]
                             tr += wr * br - wi * bi
                             ti += wr * bi + wi * br
-                    a = jnp.sqrt(tr * tr + ti * ti)
-                    scale = a_c / jnp.where(a > 0, a, 1)
-                    cond = (a_c > thr) & (a > 0)
+                    a2 = tr * tr + ti * ti
+                    scale = a_c * jax.lax.rsqrt(jnp.where(a2 > 0, a2, 1))
+                    cond = (a_c > thr) & (a2 > 0)
                     if not use_cond and valid is not None:
                         cond = cond & valid
                     return (jnp.where(cond, tr * scale, old_r),
@@ -488,9 +489,9 @@ def _window_sweep(xr, xi, am, wr_ref, wi_ref, nz, thr, *, Q, L, F, P, T_loop,
             new_r, new_i = passes_update(tr, ti, cen_r, cen_i, amp_m, valid)
             er, ei = _freq_halo(new_r, new_i, F, L)
         else:
-            a = jnp.sqrt(tr * tr + ti * ti)
-            scale = amp_m / jnp.where(a > 0, a, 1)
-            cond = (amp_m > thr) & (a > 0)
+            a2 = tr * tr + ti * ti
+            scale = amp_m * jax.lax.rsqrt(jnp.where(a2 > 0, a2, 1))
+            cond = (amp_m > thr) & (a2 > 0)
             if valid is not None:
                 cond = cond & valid
             old_r = cen_r[..., L:L + F]
@@ -596,9 +597,9 @@ def _sweeps_kernel(thr_ref, mean_ref, sr_hbm, si_hbm, amp_hbm, wr_ref, wi_ref,
                     wi = wi_ref[Q1, dk, :]
                     fr = fr + (wr * cr_rows[..., dk:dk + F] - wi * ci_rows[..., dk:dk + F])
                     fi = fi + (wr * ci_rows[..., dk:dk + F] + wi * cr_rows[..., dk:dk + F])
-            a = jnp.sqrt(fr * fr + fi * fi)
-            scale = amp_g / jnp.where(a > 0, a, 1)
-            cond = (amp_g > thr) & (a > 0) & valid
+            a2 = fr * fr + fi * fi
+            scale = amp_g * jax.lax.rsqrt(jnp.where(a2 > 0, a2, 1))
+            cond = (amp_g > thr) & (a2 > 0) & valid
             new_r = jnp.where(cond, fr * scale, old_r)
             new_i = jnp.where(cond, fi * scale, old_i)
             if has_centre and _pass + 1 < inner_passes:
@@ -797,9 +798,9 @@ def _online_row_update_fns(wr_ref, wi_ref, nzs, Q, L, F, P, inner_scheme,
                             bi = win_i[r:r + 1, :, dk + f0:dk + f0 + fw]
                             tr += wr * br - wi * bi
                             ti += wr * bi + wi * br
-                    a = jnp.sqrt(tr * tr + ti * ti)
-                    scale = a_c / jnp.where(a > 0, a, 1)
-                    cond = (a_c > thr) & (a > 0)
+                    a2 = tr * tr + ti * ti
+                    scale = a_c * jax.lax.rsqrt(jnp.where(a2 > 0, a2, 1))
+                    cond = (a_c > thr) & (a2 > 0)
                     return (jnp.where(cond, tr * scale, old_r),
                             jnp.where(cond, ti * scale, old_i))
 
@@ -832,9 +833,9 @@ def _online_row_update_fns(wr_ref, wi_ref, nzs, Q, L, F, P, inner_scheme,
                 inner_scheme, lambda dk: wr_ref[w_set, Q - 1, dk, :],
                 lambda dk: wi_ref[w_set, Q - 1, dk, :], nz[Q - 1], F, L)
         else:
-            a = jnp.sqrt(tr * tr + ti * ti)
-            scale = amp_row / jnp.where(a > 0, a, 1)
-            cond = (amp_row > thr) & (a > 0)
+            a2 = tr * tr + ti * ti
+            scale = amp_row * jax.lax.rsqrt(jnp.where(a2 > 0, a2, 1))
+            cond = (amp_row > thr) & (a2 > 0)
             old_r = win_r[idx:idx + 1, :, L:L + F]
             old_i = win_i[idx:idx + 1, :, L:L + F]
             new_r = jnp.where(cond, tr * scale, old_r)
@@ -1294,9 +1295,9 @@ def _tiled_sweeps_kernel(thr_ref, mean_ref, s_hbm_r, s_hbm_i, amp_hbm,
                         wi = wi_ref[Q1, dk, :]
                         fr = fr + (wr * cr_rows[..., dk:dk + F] - wi * ci_rows[..., dk:dk + F])
                         fi = fi + (wr * ci_rows[..., dk:dk + F] + wi * cr_rows[..., dk:dk + F])
-                a = jnp.sqrt(fr * fr + fi * fi)
-                scale = amp_g / jnp.where(a > 0, a, 1)
-                cond = (amp_g > thr) & (a > 0) & valid
+                a2 = fr * fr + fi * fi
+                scale = amp_g * jax.lax.rsqrt(jnp.where(a2 > 0, a2, 1))
+                cond = (amp_g > thr) & (a2 > 0) & valid
                 new_r = jnp.where(cond, fr * scale, old_r)
                 new_i = jnp.where(cond, fi * scale, old_i)
                 if has_centre and _pass + 1 < inner_passes:

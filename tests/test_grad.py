@@ -115,9 +115,13 @@ def test_phase_update_guard_forward_identity():
     old_r = jnp.asarray(rng.standard_normal((4, 8)))
     old_i = jnp.asarray(rng.standard_normal((4, 8)))
     out_r, out_i = phase_update(tr, ti, amp, old_r, old_i, 0.0)
-    scale = amp / jnp.sqrt(tr * tr + ti * ti)  # unguarded form, same op order
+    # unguarded form, same op order (rsqrt epilogue, PERF.md round-5)
+    scale = amp * jax.lax.rsqrt(tr * tr + ti * ti)
     np.testing.assert_array_equal(np.asarray(out_r), np.asarray(tr * scale))
     np.testing.assert_array_equal(np.asarray(out_i), np.asarray(ti * scale))
+    # and stays within float tolerance of the reference's sqrt+divide form
+    ref = amp / jnp.sqrt(tr * tr + ti * ti)
+    np.testing.assert_allclose(np.asarray(scale), np.asarray(ref), rtol=1e-12)
     # zero weighted sum -> keep old value bit-for-bit (lwslib.cpp:133-137)
     zr, zi = phase_update(jnp.zeros_like(tr), jnp.zeros_like(ti), amp,
                           old_r, old_i, 0.0)
