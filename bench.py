@@ -564,8 +564,12 @@ def _row_subprocess(idx, budget=1800):
     return None
 
 
-# configs whose full-suite measurement runs in a fresh subprocess
-ISOLATED = {6}
+# configs whose full-suite measurement runs in a fresh subprocess: both
+# measured suite-order artifacts on identical code (streaming 144 vs 232
+# round 4; pipeline 570 in-suite vs 860 standalone round 5 — allocator/
+# dispatch state left by earlier configs). The persistent XLA cache keeps
+# the subprocess compile cost to backend init.
+ISOLATED = {2, 6}
 
 
 def main():

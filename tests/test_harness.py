@@ -60,3 +60,21 @@ def test_multichip_example_runs():
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "data-parallel run_lws" in proc.stdout
     assert "time-sharded batch_lws" in proc.stdout
+
+
+def test_bench_row_json_subprocess_roundtrip():
+    """The full-suite streaming isolation (bench._row_subprocess) depends on
+    `--config N --row-json` emitting a parseable row dict on stdout; pin the
+    contract on the CPU backend with the cheapest config (3, online)."""
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "bench.py"),
+         "--config", "3", "--row-json"],
+        capture_output=True, text=True, timeout=900, env=env)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    row = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert row["name"] == "online"
+    assert row["audio_s"] > 0 and row["wall"] > 0
+    assert len(row["shape"]) == 3 and len(row["cons"]) == 2
