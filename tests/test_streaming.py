@@ -334,6 +334,13 @@ def test_pallas_device_emit_matches_host(golden_q4):
     yd = np.asarray(jnp.concatenate(outs, axis=-1))
     np.testing.assert_array_equal(yd, yh)
 
+    # prefetch (async device->host copies of returned blocks, the serving
+    # collection optimisation) is value-neutral: same bits with it disabled
+    sn = StreamingLWS(proc, iterations=2, mean_amp=1.0, backend="pallas",
+                      interpret=True, emit="device", prefetch=False)
+    yn = np.asarray(jnp.concatenate([sn.push_block(x), sn.flush()], axis=-1))
+    np.testing.assert_array_equal(yn, yd)
+
 
 def test_pallas_stream_fuzz_geometries_vs_xla():
     """The chunked pallas backend agrees with the XLA per-frame backend on
