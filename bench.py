@@ -450,7 +450,9 @@ def write_table(rows, backend):
                 "bf=8/64 ms is the minimum real-time host-sync quantum, "
                 "PERF.md). The `pipelined` row is the device-emit serving "
                 "mode: pushes only enqueue (p50 column) and the consumer "
-                "fetches prefetched audio one block behind; it serves the "
+                "fetches prefetched audio a few blocks behind (~8 hops of "
+                "pipeline depth absorbs the round-trip, "
+                "examples/streaming_serve.py); it serves the "
                 "8 ms hop in real time when the amortized wall per push "
                 "(drain included) stays under the hop.\n\n")
             f.write("| block_frames | mode | audio/push (ms) | p50 (ms) | "
