@@ -18,6 +18,7 @@ from .pallas_packed import (
     packed_rtisi_la,
     packed_supported,
     segmented_lws_sweeps,
+    effective_fold,
     tiled_lws_sweeps,
     tiled_supported,
 )
@@ -31,6 +32,7 @@ __all__ = [
     "packed_rtisi_la",
     "packed_supported",
     "segmented_lws_sweeps",
+    "effective_fold",
     "tiled_lws_sweeps",
     "tiled_supported",
 ]

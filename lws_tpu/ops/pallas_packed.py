@@ -62,9 +62,23 @@ def packed_supported(T: int, F: int, Q: int, L: int, pack: int = 4,
     return planes + weights < vmem_budget
 
 
+def effective_fold(B: int, pack: int, fold) -> int:
+    """Largest usable lane fold for this batch at this sublane pack: the
+    tiled kernel folds whole batch groups into the lane axis, so the fold
+    must divide the group count (1 = no folding)."""
+    if not fold or int(fold) <= 1:
+        return 1
+    P = min(int(pack), max(8, _cdiv(B, 8) * 8))
+    G = _cdiv(B, P)
+    f = min(int(fold), G)
+    while G % f:
+        f -= 1
+    return f
+
+
 def _tiled_tile(F: int, Q: int, L: int, P: int, micro: int = 1,
                 itemsize: int = 4, tap_chunks: int = 1,
-                window_carry: str = "stack"):
+                window_carry: str = "stack", lane_fold: int = 1):
     """VMEM time-tile sizing for the tiled kernel; None if the geometry does
     not fit (the SINGLE source of truth — tiled_supported and
     tiled_lws_sweeps both use it, so the gate can never pass a geometry the
@@ -84,6 +98,10 @@ def _tiled_tile(F: int, Q: int, L: int, P: int, micro: int = 1,
     the 16 MiB scoped limit; below an 8-row tile, refuse (the processor
     then downshifts the pack or takes the XLA fallback)."""
     micro = max(1, int(micro))
+    if lane_fold > 1:
+        # folded interior width (see tiled_lws_sweeps' lane_fold): the
+        # VMEM model below sees the folded lane geometry
+        F = lane_fold * (F + 2 * L) - 2 * L
     fpad = _cdiv(F, 128) * 128
     epad = _cdiv(F + 2 * L, 128) * 128  # direct mode: pre-extended rows
     spad = epad if window_carry == "direct" else fpad
@@ -125,18 +143,20 @@ def _tiled_tile(F: int, Q: int, L: int, P: int, micro: int = 1,
 
 def tiled_supported(F: int, Q: int, L: int, pack: int = 8, micro: int = 1,
                     B: int | None = None, itemsize: int = 4,
-                    tap_chunks: int = 1, window_carry: str = "stack") -> bool:
+                    tap_chunks: int = 1, window_carry: str = "stack",
+                    lane_fold: int = 1) -> bool:
     """Whether the time-tiled kernel can run this geometry at the given pack
     (pass the batch size B to account for the kernel's own pack clamp for
     underfilled batches, and the storage itemsize when using bf16 planes).
     Large Q at large F (e.g. Q=16 with F=2049) fails and must take the XLA
-    fallback."""
+    fallback. `lane_fold` must be the EFFECTIVE fold (effective_fold)."""
     if Q > MAX_Q:
         return False
     P = int(pack) if B is None else min(int(pack), max(8, _cdiv(B, 8) * 8))
     return _tiled_tile(F, Q, L, P, micro, itemsize=itemsize,
                        tap_chunks=tap_chunks,
-                       window_carry=window_carry) is not None
+                       window_carry=window_carry,
+                       lane_fold=lane_fold) is not None
 
 
 def _shift_concat(parts, axis=0):
@@ -149,15 +169,32 @@ def _shift_concat(parts, axis=0):
     return live[0] if len(live) == 1 else jnp.concatenate(live, axis=axis)
 
 
-def _freq_halo(rows_r, rows_i, F, L):
+def _freq_halo(rows_r, rows_i, F, L, fold=1):
     """(..., F) -> (..., F+2L): conjugate-reflected margins via width-1
-    static lane slices (Mosaic has no lane reverse)."""
-    left = [(rows_r[..., k:k + 1], -rows_i[..., k:k + 1]) for k in range(L, 0, -1)]
-    right = [(rows_r[..., k:k + 1], -rows_i[..., k:k + 1])
-             for k in range(F - 2, F - 2 - L, -1)]
-    er = jnp.concatenate([p[0] for p in left] + [rows_r] + [p[0] for p in right], axis=-1)
-    ei = jnp.concatenate([p[1] for p in left] + [rows_i] + [p[1] for p in right], axis=-1)
-    return er, ei
+    static lane slices (Mosaic has no lane reverse).
+
+    With `fold > 1` the row lane-folds `fold` independent spectra (see
+    tiled_lws_sweeps' lane_fold): interior g occupies lanes
+    [g*(Fi+2L), g*(Fi+2L)+Fi) of the F-wide input (F = fold*(Fi+2L)-2L,
+    the 2L-lane straddles between interiors are dead) and the output is the
+    concatenation of every group's own (Fi+2L)-wide extension — so the
+    extended row's straddle lanes hold exactly the halos each group's edge
+    taps must read, and groups can never contaminate each other."""
+    Fi = (F + 2 * L) // fold - 2 * L
+    parts_r, parts_i = [], []
+    for g in range(fold):
+        o = g * (Fi + 2 * L)
+        gr = rows_r[..., o:o + Fi]
+        gi = rows_i[..., o:o + Fi]
+        left = [(gr[..., k:k + 1], -gi[..., k:k + 1]) for k in range(L, 0, -1)]
+        right = [(gr[..., k:k + 1], -gi[..., k:k + 1])
+                 for k in range(Fi - 2, Fi - 2 - L, -1)]
+        parts_r += [p[0] for p in left] + [gr] + [p[0] for p in right]
+        parts_i += [p[1] for p in left] + [gi] + [p[1] for p in right]
+    if len(parts_r) == 1:
+        return parts_r[0], parts_i[0]
+    return (jnp.concatenate(parts_r, axis=-1),
+            jnp.concatenate(parts_i, axis=-1))
 
 
 def _dma(src, dst, sem):
@@ -233,7 +270,7 @@ def _chunk_bounds(F, n):
 def _window_sweep(xr, xi, am, wr_ref, wi_ref, nz, thr, *, Q, L, F, P, T_loop,
                   nxt_cap, inner_scheme, has_centre, valid_fn=None,
                   carry="stack", frame_unroll=1, lane_skip=False,
-                  tap_chunks=1, inner_passes=1):
+                  tap_chunks=1, inner_passes=1, fold=1):
     """micro=1 fast path shared by the packed and tiled sweep kernels: a
     sliding register window of the 2Q-1 freq-extended frame rows around the
     update point — one row read + one row write-back per frame instead of
@@ -264,6 +301,12 @@ def _window_sweep(xr, xi, am, wr_ref, wi_ref, nz, thr, *, Q, L, F, P, T_loop,
     Q1 = Q - 1
     cdt = jnp.promote_types(xr.dtype, jnp.float32)
     use_colors_d = inner_scheme != "jacobi" and has_centre
+    if fold > 1 and (use_colors_d or lane_skip or tap_chunks > 1):
+        # color parity and the chunked paths index lanes in unfolded
+        # bin coordinates; lane folding supports only the plain jacobi
+        # update (the production default — callers gate on this)
+        raise ValueError("lane folding requires inner_scheme='jacobi' "
+                         "without lane_skip/tap_chunks")
     # in-frame jacobi re-passes (core/stencil.py update_frame's
     # inner_passes): centre-row taps recomputed against the evolving row
     multi_pass = inner_passes > 1 and has_centre and not use_colors_d
@@ -299,7 +342,7 @@ def _window_sweep(xr, xi, am, wr_ref, wi_ref, nz, thr, *, Q, L, F, P, T_loop,
             new_r = jnp.where(cond, fr * scale, old_r)
             new_i = jnp.where(cond, fi * scale, old_i)
             if _pass + 1 < inner_passes:
-                cr_rows, ci_rows = _freq_halo(new_r, new_i, F, L)
+                cr_rows, ci_rows = _freq_halo(new_r, new_i, F, L, fold)
         return new_r, new_i
 
     if carry == "direct":
@@ -349,7 +392,7 @@ def _window_sweep(xr, xi, am, wr_ref, wi_ref, nz, thr, *, Q, L, F, P, T_loop,
             elif multi_pass:
                 new_r, new_i = passes_update(tr, ti, cen_r, cen_i, amp_m,
                                              valid)
-                er, ei = _freq_halo(new_r, new_i, F, L)
+                er, ei = _freq_halo(new_r, new_i, F, L, fold)
             else:
                 a2 = tr * tr + ti * ti
                 scale = amp_m * jax.lax.rsqrt(jnp.where(a2 > 0, a2, 1))
@@ -358,7 +401,7 @@ def _window_sweep(xr, xi, am, wr_ref, wi_ref, nz, thr, *, Q, L, F, P, T_loop,
                     cond = cond & valid
                 new_r = jnp.where(cond, tr * scale, cen_r[..., L:L + F])
                 new_i = jnp.where(cond, ti * scale, cen_i[..., L:L + F])
-                er, ei = _freq_halo(new_r, new_i, F, L)
+                er, ei = _freq_halo(new_r, new_i, F, L, fold)
             xr[pl.ds(Q1 + m, 1), :, :E] = er.astype(xr.dtype)
             xi[pl.ds(Q1 + m, 1), :, :E] = ei.astype(xi.dtype)
             return carry_d
@@ -370,7 +413,7 @@ def _window_sweep(xr, xi, am, wr_ref, wi_ref, nz, thr, *, Q, L, F, P, T_loop,
     def halo1(j):
         rr = xr[pl.ds(j, 1)][..., :F].astype(cdt)
         ri = xi[pl.ds(j, 1)][..., :F].astype(cdt)
-        return _freq_halo(rr, ri, F, L)
+        return _freq_halo(rr, ri, F, L, fold)
 
     rows0 = [halo1(j) for j in range(2 * Q1 + 1)]
     use_colors = inner_scheme != "jacobi" and has_centre
@@ -453,12 +496,12 @@ def _window_sweep(xr, xi, am, wr_ref, wi_ref, nz, thr, *, Q, L, F, P, T_loop,
                 parts_i.append(ni)
             new_r = jnp.concatenate(parts_r, axis=-1)
             new_i = jnp.concatenate(parts_i, axis=-1)
-            er, ei = _freq_halo(new_r, new_i, F, L)
+            er, ei = _freq_halo(new_r, new_i, F, L, fold)
             xr[pl.ds(Q1 + m, 1), :, :F] = new_r.astype(xr.dtype)
             xi[pl.ds(Q1 + m, 1), :, :F] = new_i.astype(xi.dtype)
             nxt = jnp.minimum(m + 2 * Q1 + 1, nxt_cap)
             fr, fi = _freq_halo(xr[pl.ds(nxt, 1)][..., :F].astype(cdt),
-                                xi[pl.ds(nxt, 1)][..., :F].astype(cdt), F, L)
+                                xi[pl.ds(nxt, 1)][..., :F].astype(cdt), F, L, fold)
             return shift(win_r, er, fr), shift(win_i, ei, fi)
         tr = jnp.zeros((1, P, F), dtype=cdt)
         ti = jnp.zeros_like(tr)
@@ -487,7 +530,7 @@ def _window_sweep(xr, xi, am, wr_ref, wi_ref, nz, thr, *, Q, L, F, P, T_loop,
                 nz[Q1], F, L, extra_cond=valid)
         elif multi_pass:
             new_r, new_i = passes_update(tr, ti, cen_r, cen_i, amp_m, valid)
-            er, ei = _freq_halo(new_r, new_i, F, L)
+            er, ei = _freq_halo(new_r, new_i, F, L, fold)
         else:
             a2 = tr * tr + ti * ti
             scale = amp_m * jax.lax.rsqrt(jnp.where(a2 > 0, a2, 1))
@@ -498,13 +541,13 @@ def _window_sweep(xr, xi, am, wr_ref, wi_ref, nz, thr, *, Q, L, F, P, T_loop,
             old_i = cen_i[..., L:L + F]
             new_r = jnp.where(cond, tr * scale, old_r)
             new_i = jnp.where(cond, ti * scale, old_i)
-            er, ei = _freq_halo(new_r, new_i, F, L)
+            er, ei = _freq_halo(new_r, new_i, F, L, fold)
         xr[pl.ds(Q1 + m, 1), :, :F] = new_r.astype(xr.dtype)  # write-back
         xi[pl.ds(Q1 + m, 1), :, :F] = new_i.astype(xi.dtype)
         # shift: drop the oldest row, re-centre, pull in frame m+Q (old)
         nxt = jnp.minimum(m + 2 * Q1 + 1, nxt_cap)
         fr, fi = _freq_halo(xr[pl.ds(nxt, 1)][..., :F].astype(cdt),
-                            xi[pl.ds(nxt, 1)][..., :F].astype(cdt), F, L)
+                            xi[pl.ds(nxt, 1)][..., :F].astype(cdt), F, L, fold)
         return shift(win_r, er, fr), shift(win_i, ei, fi)
 
     # frame_unroll folds the per-frame window shift into register renaming
@@ -1216,7 +1259,8 @@ def _tiled_sweeps_kernel(thr_ref, mean_ref, s_hbm_r, s_hbm_i, amp_hbm,
                          wr_ref, wi_ref, live_ref, osr_hbm, osi_hbm, xr, xi,
                          am, sem, *, T, F, Q, L, iters, micro, nz,
                          inner_passes, inner_scheme, P, TT, frame_unroll=1,
-                         window_carry="stack", lane_skip=False, tap_chunks=1):
+                         window_carry="stack", lane_skip=False, tap_chunks=1,
+                         fold=1):
     """Long-T variant: the evolving state lives in the (pre-halo-padded)
     OUTPUT slab in HBM; each iteration sweeps time tiles of TT frames,
     DMA-ing tile+halo in and the updated tile out. Because tiles are
@@ -1234,7 +1278,9 @@ def _tiled_sweeps_kernel(thr_ref, mean_ref, s_hbm_r, s_hbm_i, amp_hbm,
     # osr/osi already hold the halo-padded input; sweeps evolve them in place
     del s_hbm_r, s_hbm_i
 
-    mean_amp = mean_ref[0]  # (P, 1)
+    # unfolded: per-utterance scalar means (P, 1); lane-folded: per-lane
+    # mean rows (P, F) — each packed spectrum's own mean under its lanes
+    mean_amp = mean_ref[0] if fold == 1 else mean_ref[0][:, :F]
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (micro, 1, 1), 0)
     has_centre = bool(nz[Q1].any())
 
@@ -1248,7 +1294,7 @@ def _tiled_sweeps_kernel(thr_ref, mean_ref, s_hbm_r, s_hbm_i, amp_hbm,
                       valid_fn=lambda mm: (t0 + mm) < T,
                       carry=window_carry, frame_unroll=frame_unroll,
                       lane_skip=lane_skip, tap_chunks=tap_chunks,
-                      inner_passes=inner_passes)
+                      inner_passes=inner_passes, fold=fold)
 
     def tile_sweep(it, k, _):
         thr = thr_ref[it] * mean_amp
@@ -1262,7 +1308,7 @@ def _tiled_sweeps_kernel(thr_ref, mean_ref, s_hbm_r, s_hbm_i, amp_hbm,
             start = grp * micro  # tile-local frame offset
             pr = xr[pl.ds(start, micro + 2 * Q1)][..., :F]
             pi = xi[pl.ds(start, micro + 2 * Q1)][..., :F]
-            er, ei = _freq_halo(pr, pi, F, L)
+            er, ei = _freq_halo(pr, pi, F, L, fold)
 
             tr = jnp.zeros((micro, P, F), dtype=pr.dtype)
             ti = jnp.zeros_like(tr)
@@ -1301,7 +1347,7 @@ def _tiled_sweeps_kernel(thr_ref, mean_ref, s_hbm_r, s_hbm_i, amp_hbm,
                 new_r = jnp.where(cond, fr * scale, old_r)
                 new_i = jnp.where(cond, fi * scale, old_i)
                 if has_centre and _pass + 1 < inner_passes:
-                    cr_rows, ci_rows = _freq_halo(new_r, new_i, F, L)
+                    cr_rows, ci_rows = _freq_halo(new_r, new_i, F, L, fold)
 
             xr[pl.ds(Q1 + start, micro), :, :F] = new_r
             xi[pl.ds(Q1 + start, micro), :, :F] = new_i
@@ -1364,6 +1410,7 @@ def tiled_lws_sweeps(
     window_carry: str = "stack",
     lane_skip: bool = False,
     tap_chunks: int = 1,
+    lane_fold: int = 1,
 ):
     """Batch/no-future sweeps for arbitrary T: exact same frame order as
     packed_lws_sweeps, with the state streamed through VMEM in time tiles.
@@ -1378,7 +1425,19 @@ def tiled_lws_sweeps(
     boundary frames here (parallel/sharding.py). `mean_amp` (B,) overrides
     the locally computed mean magnitude (the global psum'd mean when time-
     sharded, matching the reference's whole-spectrogram mean,
-    python/lws.pyx:240-245)."""
+    python/lws.pyx:240-245).
+
+    `lane_fold=n` packs n batch groups side by side in the LANE axis with
+    2L-lane dead straddles between their interiors, cutting the 128-lane
+    tile padding the VPU burns per op (F=257: 2 groups x 3 tiles -> 1 x 5;
+    see PERF.md round-5 levers). The tap arithmetic per bin is identical
+    in the identical order and the straddle lanes carry zero weight and
+    zero amp, so outputs are BIT-EQUAL to lane_fold=1 in f32 storage (the
+    sweep-level iteration skip couples the folded groups to the max of
+    their live counts — extra sweeps where every update's `amp > thr`
+    select keeps the old value exactly). Requires the plain jacobi update
+    (micro=1, no lane_skip/tap_chunks); the fold silently clamps to the
+    largest divisor of the group count."""
     if thresholds.shape[0] == 0:
         return sr, si
     squeeze = sr.ndim == 2
@@ -1401,11 +1460,19 @@ def tiled_lws_sweeps(
     # don't pack more utterances than the batch fills (rounded to the
     # 8-sublane tile): dead sublane tiles would burn VPU cycles
     P = min(int(pack), max(8, _cdiv(B, 8) * 8))
+    fold = effective_fold(B, P, lane_fold)
+    if fold > 1 and (inner_scheme != "jacobi" or lane_skip
+                     or tap_chunks > 1 or micro > 1):
+        raise ValueError("lane_fold > 1 requires the plain jacobi update "
+                         "(micro=1, no lane_skip/tap_chunks)")
+    # folded interior lane width: `fold` spectra side by side, 2L dead
+    # straddle lanes (each group's halo slot in the extended row) between
+    Fk = fold * (F + 2 * L) - 2 * L
     if tile is None:
         tile = _tiled_tile(F, Q, L, P, micro,
                            itemsize=jnp.dtype(storage or sr.dtype).itemsize,
                            tap_chunks=int(tap_chunks),
-                           window_carry=window_carry)
+                           window_carry=window_carry, lane_fold=fold)
         if tile is None:
             # fixed costs leave no useful tile (tiled_supported is the
             # caller-facing predicate and uses the same sizing)
@@ -1429,12 +1496,13 @@ def tiled_lws_sweeps(
         mean_amp = jnp.pad(mean_amp, (0, b_pad))
         if halo is not None:
             halo = tuple(jnp.pad(h, pad3) for h in halo)
-    G = (B + b_pad) // P
+    G0 = (B + b_pad) // P  # unfolded group count (live/mean derivation)
+    G = G0 // fold
     n_tiles = _cdiv(T, TT)
     t_pad = n_tiles * TT - T
-    Fpad = _cdiv(F, 128) * 128
-    # direct mode: state rows are stored frequency-pre-extended (F+2L lanes)
-    Spad = _cdiv(F + 2 * L, 128) * 128 if direct else Fpad
+    Fpad = _cdiv(Fk, 128) * 128
+    # direct mode: state rows are stored frequency-pre-extended (+2L lanes)
+    Spad = _cdiv(Fk + 2 * L, 128) * 128 if direct else Fpad
 
     sdt = storage or sr.dtype
     out_dt = sr.dtype
@@ -1460,12 +1528,55 @@ def tiled_lws_sweeps(
             a = jnp.pad(a, ((0, 0), (0, t_pad), (0, 0), (0, 0)))
         return jnp.pad(a, ((0, 0), (0, 0), (0, 0), (0, width - Fx))).astype(sdt)
 
+    def fold_lanes(a, gapped=True):
+        # (G*fold*P, T', Fx) -> (G*P, T', folded width): consecutive
+        # groups' lanes side by side; `gapped` inserts the 2L dead
+        # straddle lanes between interiors (pre-extended rows abut)
+        a5 = a.reshape((G, fold, P) + a.shape[1:])
+        segs = []
+        for c in range(fold):
+            segs.append(a5[:, c])
+            if gapped and c < fold - 1:
+                segs.append(jnp.zeros(
+                    a5.shape[:1] + a5.shape[2:-1] + (2 * L,), a.dtype))
+        out = jnp.concatenate(segs, -1)
+        return out.reshape((G * P,) + out.shape[2:])
+
+    # sweep-level iteration skip and the threshold rows derive from the
+    # UNFOLDED per-utterance amp/mean, then fold (live: a folded group
+    # runs while ANY of its packed spectra is live — the extra sweeps are
+    # exact no-ops for the dead ones, every select keeps the old value)
+    live_t = _live_iters(amp, mean_amp, thresholds, G0, P, 0)
+    if fold == 1:
+        mean_t = mean_amp.reshape(G, P, 1)
+        mspec = pl.BlockSpec((1, P, 1), lambda g: (g, 0, 0),
+                             memory_space=pltpu.VMEM)
+    else:
+        live_t = jnp.max(live_t.reshape(G, fold, iters), axis=1)
+        # per-lane threshold rows: each folded spectrum's own mean under
+        # its interior lanes (straddles inherit the left mean; dead either
+        # way — amp is zero there)
+        m3 = mean_amp.reshape(G, fold, P)
+        rows = [jnp.broadcast_to(m3[:, c, :, None],
+                                 (G, P, F + 2 * L if c < fold - 1 else F))
+                for c in range(fold)]
+        mean_t = jnp.pad(jnp.concatenate(rows, -1),
+                         ((0, 0), (0, 0), (0, Spad - Fk)))
+        mspec = pl.BlockSpec((1, P, Spad), lambda g: (g, 0, 0),
+                             memory_space=pltpu.VMEM)
+
     if direct:
         sr_x, si_x = freq_extend(sr, si, L)
         halo_x = (None if halo is None else
                   freq_extend(halo[0], halo[1], L) + freq_extend(halo[2], halo[3], L))
     else:
         sr_x, si_x, halo_x = sr, si, halo
+    if fold > 1:
+        sr_x = fold_lanes(sr_x, not direct)
+        si_x = fold_lanes(si_x, not direct)
+        amp = fold_lanes(amp)
+        if halo_x is not None:
+            halo_x = tuple(fold_lanes(h, not direct) for h in halo_x)
     if halo_x is None:
         sr_t = to_slabs(sr_x, True, width=Spad)
         si_t = to_slabs(si_x, True, width=Spad)
@@ -1473,20 +1584,36 @@ def tiled_lws_sweeps(
         sr_t = to_slabs(sr_x, True, halo_x[0], halo_x[2], width=Spad)
         si_t = to_slabs(si_x, True, halo_x[1], halo_x[3], width=Spad)
     amp_t = to_slabs(amp, False)
-    mean_t = mean_amp.reshape(G, P, 1)
     # amp/mean_amp are already batch-padded with zeros here, which can never
     # be live (0 > thr*0 is false), so no extra masking is needed
-    live_t = _live_iters(amp, mean_amp, thresholds, G, P, 0)
 
     wdt = jnp.promote_types(sr.dtype, jnp.float32)
+    wr_w = st.Wr[:, :, :F].astype(wdt)
+    wi_w = st.Wi[:, :, :F].astype(wdt)
+    if fold > 1:
+        # weight rows folded the same way, ZERO in the straddles: a tap
+        # whose slice crosses a group boundary multiplies halo lanes the
+        # extended row provides, and straddle OUTPUT positions accumulate
+        # exactly zero (their cond is always false)
+        zw = jnp.zeros(wr_w.shape[:2] + (2 * L,), wdt)
+        pr_, pi_ = [], []
+        for c in range(fold):
+            pr_.append(wr_w)
+            pi_.append(wi_w)
+            if c < fold - 1:
+                pr_.append(zw)
+                pi_.append(zw)
+        wr_w = jnp.concatenate(pr_, -1)
+        wi_w = jnp.concatenate(pi_, -1)
+
     kern = functools.partial(
-        _tiled_sweeps_kernel, T=T, F=F, Q=Q, L=L, iters=iters, micro=micro,
+        _tiled_sweeps_kernel, T=T, F=Fk, Q=Q, L=L, iters=iters, micro=micro,
         nz=st.nz, inner_passes=int(inner_passes), inner_scheme=inner_scheme,
         P=P, TT=TT, frame_unroll=int(frame_unroll), window_carry=window_carry,
-        lane_skip=bool(lane_skip), tap_chunks=int(tap_chunks))
+        lane_skip=bool(lane_skip), tap_chunks=int(tap_chunks), fold=fold)
 
     hbm = pl.BlockSpec(memory_space=pl.ANY)
-    wspec = pl.BlockSpec((2 * Q - 1, 2 * L + 1, F), lambda g: (0, 0, 0),
+    wspec = pl.BlockSpec((2 * Q - 1, 2 * L + 1, Fk), lambda g: (0, 0, 0),
                          memory_space=pltpu.VMEM)
     rows_hbm = Q1 + n_tiles * TT + Q1
     osr, osi = pl.pallas_call(
@@ -1494,7 +1621,7 @@ def tiled_lws_sweeps(
         grid=(G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, P, 1), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            mspec,
             hbm, hbm, hbm, wspec, wspec,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
@@ -1511,13 +1638,19 @@ def tiled_lws_sweeps(
         input_output_aliases={2: 0, 3: 1},  # input slabs ARE the state buffers
         interpret=interpret,
     )(thresholds.astype(sr.dtype), mean_t, sr_t, si_t, amp_t,
-      st.Wr[:, :, :F].astype(wdt), st.Wi[:, :, :F].astype(wdt), live_t)
+      wr_w, wi_w, live_t)
 
     off = L if direct else 0
 
-    def from_slabs(a):  # strip halos + pads
-        a = a[:, Q1:Q1 + T, :, off:off + F].astype(out_dt)
-        return jnp.moveaxis(a, 2, 1).reshape(G * P, T, F)[:B]
+    def from_slabs(a):  # strip halos + pads (+ unfold packed lanes)
+        a = a[:, Q1:Q1 + T].astype(out_dt)           # (G, T, P, Spad)
+        if fold == 1:
+            a = a[..., off:off + F]
+            return jnp.moveaxis(a, 2, 1).reshape(G * P, T, F)[:B]
+        segs = [a[..., c * (F + 2 * L) + off: c * (F + 2 * L) + off + F]
+                for c in range(fold)]
+        a = jnp.stack(segs, axis=1)                  # (G, fold, T, P, F)
+        return jnp.moveaxis(a, 3, 2).reshape(G0 * P, T, F)[:B]
 
     osr, osi = from_slabs(osr), from_slabs(osi)
     if squeeze:

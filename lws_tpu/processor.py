@@ -90,6 +90,7 @@ class LWS:
         pallas_unroll=1,
         pallas_window=None,
         pallas_tap_chunks=1,
+        pallas_fold=1,
         auto_segment=True,
     ):
         if isinstance(awin_or_fsize, (int, np.integer)):
@@ -214,6 +215,17 @@ class LWS:
                 "pallas_tap_chunks > 1 has no effect with "
                 "pallas_window='direct' (there is no carried window to "
                 "chunk); use one or the other")
+        # lane folding (ops/pallas_packed.tiled_lws_sweeps' lane_fold): pack
+        # n batch groups side by side in the LANE axis, cutting the
+        # 128-lane tile padding per vector op (F=257: 3 tiles/group -> 5
+        # tiles for 2 groups). Bit-neutral throughput knob like pack/
+        # window_carry; clamps itself to the largest divisor of the group
+        # count and requires the plain jacobi update
+        self.pallas_fold = int(pallas_fold)
+        if self.pallas_fold > 1 and self.pallas_tap_chunks > 1:
+            raise ValueError(
+                "pallas_fold > 1 requires pallas_tap_chunks == 1 (the "
+                "chunked tap paths index unfolded lane coordinates)")
         self.auto_segment = bool(auto_segment)
         if dtype is not None and jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
             dtype = jnp.float64 if jnp.dtype(dtype) == jnp.complex128 else jnp.float32
@@ -237,6 +249,10 @@ class LWS:
         # cost, so they are the batch-stage default for jacobi-scheme
         # configs. Q=8 measures no gap (cross-frame taps dominate), and the
         # color schemes already carry their own in-frame flow.
+        # folding only supports the plain jacobi update (the color schemes
+        # index lane parity in unfolded bin coordinates)
+        self._fold_eff = (self.pallas_fold
+                          if self.inner_scheme == "jacobi" else 1)
         self.inner_passes = (1 if self._inner_passes_arg is None
                              else int(self._inner_passes_arg))
         if self._inner_passes_arg is None and self.inner_scheme == "jacobi" \
@@ -307,12 +323,12 @@ class LWS:
             inner_passes=self.batch_inner_passes,
             inner_scheme=self.inner_scheme, storage=self.pallas_storage,
             frame_unroll=self.pallas_unroll,
-            tap_chunks=self.pallas_tap_chunks),
+            tap_chunks=self.pallas_tap_chunks, lane_fold=self._fold_eff),
             static_argnames=("pack", "window_carry"))
         self._nofuture_tiled = jax.jit(functools.partial(
             tiled_lws_sweeps, st=self._st_nofuture, micro=self.pallas_micro,
             storage=self.pallas_storage, frame_unroll=self.pallas_unroll,
-            tap_chunks=self.pallas_tap_chunks),
+            tap_chunks=self.pallas_tap_chunks, lane_fold=self._fold_eff),
             static_argnames=("pack", "window_carry"))
         self._batch_seg = jax.jit(functools.partial(
             segmented_lws_sweeps, st=self._st_batch, micro=self.pallas_micro,
@@ -393,7 +409,7 @@ class LWS:
         segmentation is halved until the fit holds. Packs, segments and the
         carry representation are purely throughput knobs (bit-identical
         semantics, PERF.md), so downshifting preserves results."""
-        from .ops.pallas_packed import tiled_supported
+        from .ops.pallas_packed import effective_fold, tiled_supported
         F = pair[0].shape[-1]
         T = pair[0].shape[-2]
         B = int(np.prod(pair[0].shape[:-2])) if pair[0].ndim > 2 else 1
@@ -402,11 +418,16 @@ class LWS:
             for w in self._window_modes():
                 S = self._auto_segments(B, T, p)
                 while S >= 1:
+                    # the plain tiled kernel (S == 1) applies lane folding;
+                    # the segmented path does not — the fit must mirror the
+                    # kernel each plan actually launches
+                    fe = (effective_fold(B, p, self._fold_eff)
+                          if S == 1 else 1)
                     if tiled_supported(F, self._Qi, self.L, pack=p,
                                        micro=self.pallas_micro, B=B * S,
                                        itemsize=isz,
                                        tap_chunks=self.pallas_tap_chunks,
-                                       window_carry=w):
+                                       window_carry=w, lane_fold=fe):
                         return p, S, w
                     S //= 2
         return None

@@ -573,6 +573,55 @@ def test_rows_carry_is_bit_neutral(golden_q4, scheme):
             np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(base[1]))
 
 
+def test_lane_fold_is_bit_neutral(golden_q4):
+    """lane_fold (groups packed side by side in the lane axis, dead 2L
+    straddles, per-group conjugate halos) is bit-identical to the unfolded
+    kernel in every window representation, at inner_passes 1 and 3, for
+    batch and no-future stencils — the straddle lanes carry zero weight and
+    zero amp, and the coupled iteration skip only adds exact no-op sweeps
+    (PERF.md round-5 levers)."""
+    from lws_tpu.ops.pallas_packed import tiled_lws_sweeps
+
+    p, A, _ = _setup(golden_q4, max_t=40)
+    Ab = np.stack([A, 0.6 * A, 0.3 * A, 1.4 * A])  # B=4, pack=2 -> G=2
+    pair = split(Ab, dtype=jnp.float32)
+    thr = jnp.asarray(get_thresholds(3, 100, 0.1, 1), dtype=jnp.float32)
+    for st in (p._st_batch, p._st_nofuture):
+        for carry in ("rows", "stack", "direct"):
+            for ip in (1, 3):
+                base = tiled_lws_sweeps(*pair, st=st, thresholds=thr, pack=2,
+                                        interpret=True, window_carry=carry,
+                                        inner_passes=ip)
+                got = tiled_lws_sweeps(*pair, st=st, thresholds=thr, pack=2,
+                                       interpret=True, window_carry=carry,
+                                       inner_passes=ip, lane_fold=2)
+                np.testing.assert_array_equal(np.asarray(got[0]),
+                                              np.asarray(base[0]))
+                np.testing.assert_array_equal(np.asarray(got[1]),
+                                              np.asarray(base[1]))
+
+
+def test_lane_fold_fractional_and_clamp():
+    """Folded per-bin weight rows under fractional Q stay exact, and a fold
+    that does not divide the group count clamps to the largest divisor
+    (here 4 -> 3) instead of failing."""
+    from lws_tpu.ops.pallas_packed import effective_fold, tiled_lws_sweeps
+
+    rng = np.random.default_rng(7)
+    p = LWS(64, 24, inner_scheme="jacobi")  # Q = 8/3 fractional
+    S = (rng.standard_normal((6, 16, 33))
+         + 1j * rng.standard_normal((6, 16, 33))).astype(np.complex64)
+    pair = split(S, dtype=jnp.float32)
+    thr = jnp.asarray(get_thresholds(3, 100, 0.1, 1), dtype=jnp.float32)
+    base = tiled_lws_sweeps(*pair, st=p._st_batch, thresholds=thr, pack=2,
+                            interpret=True)
+    assert effective_fold(6, 2, 4) == 3
+    got = tiled_lws_sweeps(*pair, st=p._st_batch, thresholds=thr, pack=2,
+                           interpret=True, lane_fold=4)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(base[0]))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(base[1]))
+
+
 def test_threshold_iteration_skip_is_bit_neutral(golden_q4):
     """The sparsity-threshold iteration skip in the tiled kernel is exact:
     an all-dead schedule is a pure identity, and a schedule whose leading
