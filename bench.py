@@ -114,10 +114,10 @@ def bench_batch(on_tpu):
     # serving mode at reference iteration parity: inner_passes=1 is the
     # round-1..3-comparable single-pass sweep (the quality-first ip3
     # default is the separate batch_hq row), and rows+full-unroll is the
-    # fastest mode on the bench mixture class (949 vs direct-p32's 792
-    # audio-s/s, tools/headline_ab.py — the direct numbers that beat it in
-    # the round-4 probes were dense-class, PERF.md) at a one-time ~3 min
-    # compile
+    # fastest mode on the bench mixture class (PERF.md) at a one-time
+    # ~3-5 min compile; the auto planner lane-folds the 4 batch groups
+    # into one program's lane axis (pack 8 x fold 4: 1060-1073 vs
+    # 1016-1018 unfolded, bit-equal — PERF.md round-5 lane folding)
     proc = (LWS(512, 128, inner_passes=1, pallas_unroll=-1,
                 pallas_window="rows")
             if on_tpu else LWS(512, 128))

@@ -62,6 +62,16 @@ def packed_supported(T: int, F: int, Q: int, L: int, pack: int = 4,
     return planes + weights < vmem_budget
 
 
+def fold_tile_saving(F: int, L: int, fold: int) -> float:
+    """Fraction of padded 128-lane tiles a lane fold saves per vector op:
+    1 - tiles(fold*(F+2L)-2L) / (fold * tiles(F)). The planner's "auto"
+    mode only engages folds whose saving clears a measured profitability
+    threshold (narrow F pays — 25% at F=257 fold 4; wide F does not —
+    5.6% at F=1025 fold 2 measured as a net loss, PERF.md round-5)."""
+    W = fold * (F + 2 * L) - 2 * L
+    return 1.0 - _cdiv(W, 128) / (fold * _cdiv(F, 128))
+
+
 def effective_fold(B: int, pack: int, fold) -> int:
     """Largest usable lane fold for this batch at this sublane pack: the
     tiled kernel folds whole batch groups into the lane axis, so the fold
@@ -121,6 +131,12 @@ def _tiled_tile(F: int, Q: int, L: int, P: int, micro: int = 1,
     # spills at 1.45x of one chunk's taps
     chunk_fpad = _cdiv(_cdiv(F, 128), max(1, int(tap_chunks))) * 128
     factor = 1.1 if int(tap_chunks) <= 1 else 1.45
+    if lane_fold > 1:
+        # folded carried-window launches keep fold x (2L+1) halo slices
+        # plus the wider rows live: measured on-chip overshoot vs the 1.1x
+        # model is 16-24% (rows + full unroll, F=257 fold 2 and 4 — scoped
+        # reports 16.80M/16.48M vs the 16M limit); budget 1.45x
+        factor = max(factor, 1.45)
     stack_bytes = int(factor * ntaps * P * chunk_fpad * 4)
     if window_carry == "direct":
         # no carried window, but Mosaic still keeps tap temporaries live

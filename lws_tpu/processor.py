@@ -90,7 +90,7 @@ class LWS:
         pallas_unroll=1,
         pallas_window=None,
         pallas_tap_chunks=1,
-        pallas_fold=1,
+        pallas_fold="auto",
         auto_segment=True,
     ):
         if isinstance(awin_or_fsize, (int, np.integer)):
@@ -217,15 +217,26 @@ class LWS:
                 "chunk); use one or the other")
         # lane folding (ops/pallas_packed.tiled_lws_sweeps' lane_fold): pack
         # n batch groups side by side in the LANE axis, cutting the
-        # 128-lane tile padding per vector op (F=257: 3 tiles/group -> 5
-        # tiles for 2 groups). Bit-neutral throughput knob like pack/
-        # window_carry; clamps itself to the largest divisor of the group
-        # count and requires the plain jacobi update
-        self.pallas_fold = int(pallas_fold)
-        if self.pallas_fold > 1 and self.pallas_tap_chunks > 1:
-            raise ValueError(
-                "pallas_fold > 1 requires pallas_tap_chunks == 1 (the "
-                "chunked tap paths index unfolded lane coordinates)")
+        # 128-lane tile padding per vector op (F=257: 12 padded tiles for
+        # 4 groups -> 9 folded; serving kernel 1016 -> 1065 audio-s/s,
+        # library default 782 -> 931, PERF.md round-5). Bit-neutral
+        # throughput knob like pack/window_carry. "auto" (default) lets
+        # the launch planner explore folds 4 -> 1 and take the deepest
+        # fitting one; an int pins the maximum (still divisor-clamped to
+        # the group count). Requires the plain jacobi update to engage.
+        if pallas_fold == "auto":
+            self.pallas_fold = "auto"
+            fold_max = 4
+        else:
+            self.pallas_fold = int(pallas_fold)
+            if self.pallas_fold < 1:
+                raise ValueError("pallas_fold must be >= 1 or 'auto'")
+            fold_max = self.pallas_fold
+            if fold_max > 1 and self.pallas_tap_chunks > 1:
+                raise ValueError(
+                    "pallas_fold > 1 requires pallas_tap_chunks == 1 (the "
+                    "chunked tap paths index unfolded lane coordinates)")
+        self._fold_max = fold_max if self.pallas_tap_chunks == 1 else 1
         self.auto_segment = bool(auto_segment)
         if dtype is not None and jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
             dtype = jnp.float64 if jnp.dtype(dtype) == jnp.complex128 else jnp.float32
@@ -251,7 +262,7 @@ class LWS:
         # color schemes already carry their own in-frame flow.
         # folding only supports the plain jacobi update (the color schemes
         # index lane parity in unfolded bin coordinates)
-        self._fold_eff = (self.pallas_fold
+        self._fold_eff = (self._fold_max
                           if self.inner_scheme == "jacobi" else 1)
         self.inner_passes = (1 if self._inner_passes_arg is None
                              else int(self._inner_passes_arg))
@@ -323,13 +334,13 @@ class LWS:
             inner_passes=self.batch_inner_passes,
             inner_scheme=self.inner_scheme, storage=self.pallas_storage,
             frame_unroll=self.pallas_unroll,
-            tap_chunks=self.pallas_tap_chunks, lane_fold=self._fold_eff),
-            static_argnames=("pack", "window_carry"))
+            tap_chunks=self.pallas_tap_chunks),
+            static_argnames=("pack", "window_carry", "lane_fold"))
         self._nofuture_tiled = jax.jit(functools.partial(
             tiled_lws_sweeps, st=self._st_nofuture, micro=self.pallas_micro,
             storage=self.pallas_storage, frame_unroll=self.pallas_unroll,
-            tap_chunks=self.pallas_tap_chunks, lane_fold=self._fold_eff),
-            static_argnames=("pack", "window_carry"))
+            tap_chunks=self.pallas_tap_chunks),
+            static_argnames=("pack", "window_carry", "lane_fold"))
         self._batch_seg = jax.jit(functools.partial(
             segmented_lws_sweeps, st=self._st_batch, micro=self.pallas_micro,
             inner_passes=self.batch_inner_passes,
@@ -396,40 +407,65 @@ class LWS:
         ladder.append(8)
         return tuple(ladder)
 
+    def _fold_candidates(self):
+        """Lane-fold ladder, deepest first. A deeper fold always issues
+        fewer padded lane tiles per utterance (ceil(W_f/128)/(8f) is
+        decreasing in f), so the planner prefers the deepest fold the
+        geometry and VMEM admit; "auto" caps exploration at 4 (measured
+        sweet spot at narrow F; wider folds grow compile/VMEM risk for
+        diminishing tile savings, PERF.md round-5)."""
+        if self._fold_eff <= 1:
+            return (1,)
+        return tuple(range(self._fold_eff, 0, -1))
+
     def _plan_tiled(self, pair):
-        """(pack, segments, window_carry) launch plan for the tiled
-        batch/no-future kernel, or None when nothing fits this geometry.
+        """(pack, segments, window_carry, lane_fold) launch plan for the
+        tiled batch/no-future kernel, or None when nothing fits.
 
         The VMEM fit is evaluated at the POST-segmentation effective batch
         (auto-segmentation multiplies the virtual utterance count, which can
         raise the kernel's internal sublane pack past what the unsegmented
         batch would use), so the gate and the launched kernel always agree.
-        Tries the configured pack first — within it every window-carry
-        candidate — then the 8-row physical minimum; within a pack,
-        segmentation is halved until the fit holds. Packs, segments and the
-        carry representation are purely throughput knobs (bit-identical
+        Candidate order: deepest lane fold first (fewest padded lane tiles
+        per utterance — the dominant issue cost); within a fold, the
+        configured pack's halving ladder, every window-carry candidate,
+        and segmentation halved until the fit holds (folded candidates are
+        plain-kernel only; a foldable batch never triggers segmentation —
+        it fills the sublanes by construction). Packs, segments, folds and
+        the carry representation are purely throughput knobs (bit-identical
         semantics, PERF.md), so downshifting preserves results."""
-        from .ops.pallas_packed import effective_fold, tiled_supported
+        from .ops.pallas_packed import (effective_fold, fold_tile_saving,
+                                        tiled_supported)
         F = pair[0].shape[-1]
         T = pair[0].shape[-2]
         B = int(np.prod(pair[0].shape[:-2])) if pair[0].ndim > 2 else 1
         isz = (self.pallas_storage or jnp.dtype(self.rdtype)).itemsize
-        for p in self._pack_ladder():
-            for w in self._window_modes():
-                S = self._auto_segments(B, T, p)
-                while S >= 1:
-                    # the plain tiled kernel (S == 1) applies lane folding;
-                    # the segmented path does not — the fit must mirror the
-                    # kernel each plan actually launches
-                    fe = (effective_fold(B, p, self._fold_eff)
-                          if S == 1 else 1)
-                    if tiled_supported(F, self._Qi, self.L, pack=p,
-                                       micro=self.pallas_micro, B=B * S,
-                                       itemsize=isz,
-                                       tap_chunks=self.pallas_tap_chunks,
-                                       window_carry=w, lane_fold=fe):
-                        return p, S, w
-                    S //= 2
+        for f_try in self._fold_candidates():
+            for p in self._pack_ladder():
+                # only packs whose group count realises exactly this fold;
+                # shallower folds get their turn later in the ladder
+                if effective_fold(B, p, f_try) != f_try:
+                    continue
+                for w in self._window_modes():
+                    if f_try > 1 and self.pallas_fold == "auto":
+                        # "auto" engages a fold only when its padded-tile
+                        # saving clears the measured profitability line
+                        # (on-chip A/B, PERF.md round-5): direct wins from
+                        # ~17% (F=257 fold 2: +11%) while the carried modes
+                        # need ~20%+ (F=257 fold 2 rows+unroll: -6%, fold 4
+                        # at 25%: +5%); F=1025's 5.6% measured a net loss
+                        need = 0.16 if w == "direct" else 0.20
+                        if fold_tile_saving(F, self.L, f_try) < need:
+                            continue
+                    S = 1 if f_try > 1 else self._auto_segments(B, T, p)
+                    while S >= 1:
+                        if tiled_supported(F, self._Qi, self.L, pack=p,
+                                           micro=self.pallas_micro, B=B * S,
+                                           itemsize=isz,
+                                           tap_chunks=self.pallas_tap_chunks,
+                                           window_carry=w, lane_fold=f_try):
+                            return p, S, w, f_try
+                        S //= 2
         return None
 
     def _eff_pack(self, pair):
@@ -595,7 +631,7 @@ class LWS:
                 extra["halo"] = halo
             if mean_amp is not None:
                 extra["mean_amp"] = mean_amp
-            pk, S, w = plan
+            pk, S, w, fe = plan
             if S > 1:
                 # 10 sweeps per halo exchange: measured quality-equivalent
                 # on the longform config (10.95 vs 10.96 dB at 4) and
@@ -608,7 +644,8 @@ class LWS:
             # the time-tiled kernel streams state through VMEM, so the wide
             # pack fits regardless of T (a single tile when T is small)
             return self._run_flat(
-                functools.partial(tiled, pack=pk, window_carry=w, **extra),
+                functools.partial(tiled, pack=pk, window_carry=w,
+                                  lane_fold=fe, **extra),
                 sr, si, thresholds)
         return self._xla_fallback(xla, sr, si, thresholds, st=st, halo=halo,
                                   mean_amp=mean_amp)

@@ -405,23 +405,58 @@ def test_pack_downshift_and_bf16_unlock():
     assert tiled_supported(1025, 8, 5, pack=8)
     assert tiled_supported(1025, 8, 5, pack=16, itemsize=2)
 
-    proc = LWS(2048, 256, L=5, pallas_pack=16, dtype=jnp.float32)
+    proc = LWS(2048, 256, L=5, pallas_pack=16, dtype=jnp.float32,
+               pallas_fold=1)
     pair = (jnp.zeros((32, 64, 1025)), jnp.zeros((32, 64, 1025)))
     # auto window mode: the carried window cannot fit pack=16 here, but the
     # direct representation can — the planner keeps the wide pack via direct
-    assert proc._plan_tiled(pair) == (16, 1, "direct")
+    assert proc._plan_tiled(pair) == (16, 1, "direct", 1)
     # pinned to the carried representation, the pack must downshift
     proc_stack = LWS(2048, 256, L=5, pallas_pack=16, dtype=jnp.float32,
                      pallas_window="stack")
-    assert proc_stack._plan_tiled(pair) == (8, 1, "stack")
+    assert proc_stack._plan_tiled(pair) == (8, 1, "stack", 1)
     proc_bf16 = LWS(2048, 256, L=5, pallas_pack=16, dtype=jnp.float32,
-                    pallas_storage="bfloat16")
+                    pallas_storage="bfloat16", pallas_fold=1)
     assert proc_bf16._eff_pack(pair) == 16
     # small batches: the kernel clamps P to the 8-row sublane minimum, so
     # the gate approves the configured pack=16 against the clamped P=8
     assert tiled_supported(1025, 8, 5, pack=16, B=2)
     small = (jnp.zeros((2, 64, 1025)), jnp.zeros((2, 64, 1025)))
-    assert proc._plan_tiled(small) == (16, 1, "direct")
+    assert proc._plan_tiled(small) == (16, 1, "direct", 1)
+
+
+def test_plan_auto_fold():
+    """The default "auto" fold takes the deepest fitting lane fold: the
+    bench batch geometry folds 4 groups at pack 8 (direct, and rows under
+    the serving unroll), F=1025 folds 2 at pack 8, while single-group,
+    color-scheme, segmented and B=1 plans stay unfolded."""
+    import jax
+    proc = LWS(512, 128)
+    pair = (jnp.zeros((32, 628, 257), jnp.float32),) * 2
+    assert proc._plan_tiled(pair) == (8, 1, "direct", 4)
+    serving = LWS(512, 128, inner_passes=1, pallas_unroll=-1,
+                  pallas_window="rows")
+    assert serving._plan_tiled(pair) == (8, 1, "rows", 4)
+    # wide F: the tile saving (5.6% at F=1025 fold 2) is below the
+    # measured profitability line — auto stays unfolded (a pinned
+    # pallas_fold=2 still folds); the vocoder config measured 254 -> 239
+    # audio-s/s under a forced fold (PERF.md round-5)
+    wide = LWS(2048, 256, L=5, pallas_pack=16, dtype=jnp.float32)
+    pair2 = (jnp.zeros((32, 64, 1025)),) * 2
+    assert wide._plan_tiled(pair2) == (16, 1, "direct", 1)
+    wide_pinned = LWS(2048, 256, L=5, pallas_pack=16, dtype=jnp.float32,
+                      pallas_fold=2)
+    assert wide_pinned._plan_tiled(pair2) == (8, 1, "direct", 2)
+    # Q=2 resolves to the color scheme -> fold disengages
+    q2 = LWS(512, 256)
+    assert q2._plan_tiled(pair)[3] == 1
+    # B=1 has one group: nothing to fold
+    single = (jnp.zeros((1, 628, 257), jnp.float32),) * 2
+    assert proc._plan_tiled(single) == (32, 1, "direct", 1)
+    # long underfilled workloads keep segmentation (fold is plain-kernel)
+    sds = jax.ShapeDtypeStruct((2, 16384, 1025), jnp.float32)
+    plan = wide._plan_tiled((sds, sds))
+    assert plan[1] > 1 and plan[3] == 1
 
 
 def test_plan_tiled_accounts_for_segmentation():
@@ -437,15 +472,16 @@ def test_plan_tiled_accounts_for_segmentation():
     sds = jax.ShapeDtypeStruct((2, 16384, 1025), jnp.float32)
     plan = proc._plan_tiled((sds, sds))
     assert plan is not None
-    pk, S, w = plan
+    pk, S, w, fe = plan
     assert S > 1  # the long underfilled workload still gets segmentation
+    assert fe == 1  # the segmented path never folds
     # the plan must be launchable: the fit holds at the effective batch and
     # window mode the segmented kernel will actually run
     assert tiled_supported(1025, proc._Qi, proc.L, pack=pk, B=2 * S,
                            window_carry=w)
     # a short workload keeps the unsegmented exact order
     small = jax.ShapeDtypeStruct((2, 64, 1025), jnp.float32)
-    assert proc._plan_tiled((small, small)) == (16, 1, "direct")
+    assert proc._plan_tiled((small, small)) == (16, 1, "direct", 1)
 
 
 def test_online_gate_independent_of_tiled_plan(monkeypatch):

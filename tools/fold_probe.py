@@ -54,13 +54,13 @@ print(f"RESULT wall={w*1e3:.0f}ms rate={160.0/w:.0f} cons={c:.3f} compile={compi
 '''
 
 CASES = {
-    "serving-f1": 'dict(inner_passes=1, pallas_unroll=-1, pallas_window="rows")',
+    "serving-f1": 'dict(inner_passes=1, pallas_unroll=-1, pallas_window="rows", pallas_fold=1)',
     "serving-f2": 'dict(inner_passes=1, pallas_unroll=-1, pallas_window="rows", pallas_fold=2)',
     "serving-f4": 'dict(inner_passes=1, pallas_unroll=-1, pallas_window="rows", pallas_pack=8, pallas_fold=4)',
-    "direct-f1": 'dict(inner_passes=1, pallas_window="direct", pallas_pack=32)',
+    "direct-f1": 'dict(inner_passes=1, pallas_window="direct", pallas_pack=32, pallas_fold=1)',
     "direct-f2": 'dict(inner_passes=1, pallas_window="direct", pallas_pack=16, pallas_fold=2)',
     "direct-f4": 'dict(inner_passes=1, pallas_window="direct", pallas_pack=8, pallas_fold=4)',
-    "hq-f1": 'dict()',
+    "hq-f1": 'dict(pallas_fold=1)',
     "hq-f4": 'dict(pallas_pack=8, pallas_fold=4)',
 }
 
