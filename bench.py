@@ -16,12 +16,14 @@ matlab/run_lws.m:48-55 / python/lws.pyx:379-383):
               (raw samples in, committed audio out, one dispatch per block)
   7 fastmode  config 1's workload under order="jacobi_mxu" (whole-grid
               Jacobi sweeps as banded MXU matmuls, -0.4 dB vs exact GS)
-  8 batch_hq  config 1's workload at the library defaults (quality-first
-              in-frame re-passes; at-or-above the float64 oracle)
+  8 batch_hq  config 1's workload at the quality-first library schedule
+              (in-frame re-passes; at-or-above the float64 oracle) under
+              the bit-identical serving kernel mode
 
 The "batch" headline row runs inner_passes=1 — the reference-iteration-
 parity serving mode, comparable with every prior round's headline;
-batch_hq shows what the quality-first library default costs/buys.
+batch_hq shows what the quality-first library schedule costs/buys (its
+plain-default launch plan measures 686 audio-s/s, PERF.md round-5).
 
 Prints ONE JSON line on stdout: the headline metric (config 1, the
 BASELINE.md 100x-real-time north-star) plus a "configs" object holding the
@@ -375,15 +377,19 @@ def bench_fastmode(on_tpu):
 
 
 def bench_batch_hq(on_tpu):
-    """Config 1's workload at the LIBRARY defaults — the quality-first
-    mode (3 in-frame re-passes at Q=4, at-or-above the float64 oracle on
-    every bench-scale signal, QUALITY.md) a plain LWS(512, 128) runs."""
+    """Config 1's workload at the quality-first LIBRARY schedule (3
+    in-frame re-passes at Q=4, at-or-above the float64 oracle on every
+    bench-scale signal, QUALITY.md), run under the serving kernel mode
+    (rows + full unroll — bit-identical to the plain defaults, one
+    ~5-10 min compile; the plain `LWS(512, 128)` plan measures 686
+    audio-s/s on the same workload, PERF.md round-5)."""
     import jax.numpy as jnp
     from lws_tpu import LWS, get_thresholds
     B, secs, iters = (32, 5.0, 100) if on_tpu else (2, 5.0, 10)
     rng = np.random.default_rng(0)
     x = make_batch(B, int(secs * 16000), 16000, rng)
-    proc = LWS(512, 128)
+    proc = (LWS(512, 128, pallas_unroll=-1, pallas_window="rows")
+            if on_tpu else LWS(512, 128))
     sr, si = proc.stft_ri(x)
     amp = jnp.sqrt(sr * sr + si * si)
     pair = (amp, jnp.zeros_like(amp))
@@ -432,10 +438,12 @@ def write_table(rows, backend):
             "\n`batch`/`pipeline` run the serving mode at reference "
             "iteration parity (`inner_passes=1`, rows + full frame unroll "
             "— comparable with every prior round's headline); `batch_hq` is "
-            "the same workload at the QUALITY-FIRST library defaults "
-            "(3 in-frame re-passes at Q=4: +1.8 dB consistency for ~25% "
+            "the same workload at the QUALITY-FIRST library schedule "
+            "(3 in-frame re-passes at Q=4: +1.8 dB consistency for ~30% "
             "throughput, at-or-above the float64 oracle on every "
-            "bench-scale signal, QUALITY.md). `fastmode` shows the same "
+            "bench-scale signal, QUALITY.md) under the same serving "
+            "kernel mode — bit-identical to the plain defaults, which "
+            "measure 686 audio-s/s on this workload (PERF.md round-5). `fastmode` shows the same "
             "workload under the opt-in MXU Jacobi order, and "
             "vocoder/longform run the documented bf16 serving storage at "
             "measured consistency parity (PERF.md).\n")

@@ -637,6 +637,32 @@ def test_lane_fold_is_bit_neutral(golden_q4):
                                               np.asarray(base[1]))
 
 
+def test_lane_fold_with_frozen_halos_and_mean(golden_q4):
+    """Folding composes with the frozen time-halo / global-mean contract
+    (the macro-chunk and sharded callers' interface): explicit halo frames
+    and an external mean_amp produce bit-identical folded output."""
+    from lws_tpu.ops.pallas_packed import tiled_lws_sweeps
+
+    p, A, _ = _setup(golden_q4, max_t=40)
+    Ab = np.stack([A, 0.6 * A, 0.3 * A, 1.4 * A])  # B=4, pack=2 -> G=2
+    pair = split(Ab, dtype=jnp.float32)
+    thr = jnp.asarray(get_thresholds(3, 100, 0.1, 1), dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    Q1 = p._Qi - 1
+    halo = tuple(jnp.asarray(rng.standard_normal((4, Q1, Ab.shape[-1])),
+                             jnp.float32) for _ in range(4))
+    mean = jnp.asarray([0.5, 1.0, 1.5, 2.0], jnp.float32)
+    for carry in ("rows", "direct"):
+        base = tiled_lws_sweeps(*pair, st=p._st_batch, thresholds=thr,
+                                pack=2, interpret=True, window_carry=carry,
+                                halo=halo, mean_amp=mean)
+        got = tiled_lws_sweeps(*pair, st=p._st_batch, thresholds=thr,
+                               pack=2, interpret=True, window_carry=carry,
+                               halo=halo, mean_amp=mean, lane_fold=2)
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(base[0]))
+        np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(base[1]))
+
+
 def test_lane_fold_fractional_and_clamp():
     """Folded per-bin weight rows under fractional Q stay exact, and a fold
     that does not divide the group count clamps to the largest divisor

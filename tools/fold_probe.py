@@ -62,6 +62,7 @@ CASES = {
     "direct-f4": 'dict(inner_passes=1, pallas_window="direct", pallas_pack=8, pallas_fold=4)',
     "hq-f1": 'dict(pallas_fold=1)',
     "hq-f4": 'dict(pallas_pack=8, pallas_fold=4)',
+    "hq-serving": 'dict(pallas_unroll=-1, pallas_window="rows")',
 }
 
 
