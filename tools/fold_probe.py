@@ -29,7 +29,7 @@ for i in range(32):
     xs.append(0.5*np.sin(2*np.pi*f0*2*t) + 0.3*np.sin(2*np.pi*(f0*4.7)*t + 0.3*i)
               + 0.2*np.sin(2*np.pi*(300+3000*t/t[-1])*t) + 0.05*rng.standard_normal(t.size))
 x = np.stack(xs).astype(np.float32)
-proc = LWS(512, 128, **kw)
+proc = LWS(1024, 256, **kw) if "%MODE%".startswith("f513") else LWS(512, 128, **kw)
 sr, si = proc.stft_ri(x)
 amp = jnp.sqrt(sr*sr + si*si)
 pair = (amp, jnp.zeros_like(amp))
@@ -54,6 +54,8 @@ print(f"RESULT wall={w*1e3:.0f}ms rate={160.0/w:.0f} cons={c:.3f} compile={compi
 '''
 
 CASES = {
+    "f513-serving-f1": 'dict(inner_passes=1, pallas_unroll=-1, pallas_window="rows", pallas_fold=1)',
+    "f513-serving-f4": 'dict(inner_passes=1, pallas_unroll=-1, pallas_window="rows", pallas_pack=8, pallas_fold=4)',
     "serving-f1": 'dict(inner_passes=1, pallas_unroll=-1, pallas_window="rows", pallas_fold=1)',
     "serving-f2": 'dict(inner_passes=1, pallas_unroll=-1, pallas_window="rows", pallas_fold=2)',
     "serving-f4": 'dict(inner_passes=1, pallas_unroll=-1, pallas_window="rows", pallas_pack=8, pallas_fold=4)',
@@ -72,7 +74,7 @@ def main():
     if unknown:
         sys.exit(f"unknown case(s) {unknown}; available: {sorted(CASES)}")
     for name in names:
-        code = INNER.replace("%KW%", CASES[name])
+        code = INNER.replace("%KW%", CASES[name]).replace("%MODE%", name)
         p = subprocess.run([sys.executable, "-c", code], env=dict(os.environ),
                            capture_output=True, text=True, timeout=3600)
         line = [l for l in p.stdout.splitlines() if l.startswith("RESULT")]
